@@ -1,0 +1,23 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU platform.
+
+Mirrors the reference's absent test story with the strategy from
+SURVEY.md §4: unit tests on synthetic tensors, multi-chip sharding tests on
+``--xla_force_host_platform_device_count=8`` fake devices.  Must run before
+the first ``import jax`` anywhere in the test process.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
