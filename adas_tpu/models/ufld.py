@@ -1,0 +1,191 @@
+"""Ultra-Fast Lane Detection v1/v2 networks in flax (NHWC).
+
+Architecture parity with the reference export nets:
+* v1 — ResNet trunk -> 1x1 conv 512->8 -> flatten -> MLP(1800, 2048,
+  (griding+1)*rows*4) reshaped to (griding+1, rows, lanes)
+  (exportLib/ultrafastLane/model.py:61-96).
+* v2 — ResNet trunk -> 1x1 conv ->8ch -> flatten (h/32*w/32*8) ->
+  [LayerNorm] -> MLP 2048 -> concat logits split into
+  loc_row/loc_col/exist_row/exist_col
+  (exportLib/ultrafastLaneV2/model_culane.py:33-63).
+
+Dataset geometry comes from the reference training configs
+(exportLib/ultrafastLaneV2/configs/*.py) and runtime ModelConfig
+(ultrafastLaneDetectorV2.py:21-55).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.types import LaneModelType
+from .resnet import ResNetFeatures
+
+
+@dataclass(frozen=True)
+class UFLDv2Spec:
+    """Static geometry of a UFLDv2 variant."""
+
+    input_height: int
+    input_width: int
+    crop_ratio: float
+    num_cell_row: int  # griding cells along x for row anchors
+    num_row: int  # row anchors
+    num_cell_col: int  # griding cells along y for column anchors
+    num_col: int  # column anchors
+    num_lanes: int = 4
+    fc_norm: bool = True
+    backbone: str = "18"
+    mlp_mid: int = 2048
+
+    # visualisation-space geometry (reference ModelConfig img_w/img_h)
+    img_w: int = 1600
+    img_h: int = 320
+
+    @property
+    def row_anchor(self) -> np.ndarray:
+        if self.num_row == 56:  # tusimple
+            return np.linspace(160, 710, 56) / 720
+        if self.input_height == 800:  # curvelanes
+            return np.linspace(0.4, 1, 72)
+        return np.linspace(0.42, 1, 72)  # culane
+
+    @property
+    def col_anchor(self) -> np.ndarray:
+        return np.linspace(0, 1, self.num_col)
+
+    @property
+    def dims(self) -> Tuple[int, int, int, int]:
+        d1 = self.num_cell_row * self.num_row * self.num_lanes
+        d2 = self.num_cell_col * self.num_col * self.num_lanes
+        d3 = 2 * self.num_row * self.num_lanes
+        d4 = 2 * self.num_col * self.num_lanes
+        return d1, d2, d3, d4
+
+
+UFLDV2_SPECS: Dict[LaneModelType, UFLDv2Spec] = {
+    LaneModelType.UFLDV2_CULANE: UFLDv2Spec(
+        input_height=320, input_width=1600, crop_ratio=0.6,
+        num_cell_row=200, num_row=72, num_cell_col=100, num_col=81,
+        fc_norm=True, img_w=1600, img_h=320,
+    ),
+    LaneModelType.UFLDV2_TUSIMPLE: UFLDv2Spec(
+        input_height=320, input_width=800, crop_ratio=0.8,
+        num_cell_row=100, num_row=56, num_cell_col=100, num_col=41,
+        fc_norm=False, img_w=800, img_h=320,
+    ),
+    LaneModelType.UFLDV2_CURVELANES: UFLDv2Spec(
+        input_height=800, input_width=1600, crop_ratio=0.8,
+        num_cell_row=200, num_row=72, num_cell_col=100, num_col=41,
+        fc_norm=True, img_w=1600, img_h=800,
+    ),
+}
+
+
+class UFLDv2Net(nn.Module):
+    """UFLDv2: anchor-classification lane detector."""
+
+    spec: UFLDv2Spec
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False
+    ) -> Dict[str, jnp.ndarray]:
+        s = self.spec
+        _, _, fea = ResNetFeatures(
+            depth=s.backbone, dtype=self.dtype, name="backbone"
+        )(x, train=train)
+        fea = nn.Conv(8, (1, 1), use_bias=True, dtype=self.dtype, name="pool")(
+            fea
+        )
+        # torch flattens NCHW (c, h, w); transpose so ingested FC weights
+        # line up with the same element order.
+        b = fea.shape[0]
+        fea = fea.transpose(0, 3, 1, 2).reshape(b, -1)
+        if s.fc_norm:
+            fea = nn.LayerNorm(dtype=self.dtype, name="cls_norm")(fea)
+        h = nn.Dense(s.mlp_mid, dtype=self.dtype, name="cls_fc1")(fea)
+        h = nn.relu(h)
+        out = nn.Dense(sum(s.dims), dtype=self.dtype, name="cls_fc2")(h)
+
+        d1, d2, d3, d4 = s.dims
+        loc_row = out[:, :d1].reshape(b, s.num_cell_row, s.num_row, s.num_lanes)
+        loc_col = out[:, d1 : d1 + d2].reshape(
+            b, s.num_cell_col, s.num_col, s.num_lanes
+        )
+        exist_row = out[:, d1 + d2 : d1 + d2 + d3].reshape(
+            b, 2, s.num_row, s.num_lanes
+        )
+        exist_col = out[:, d1 + d2 + d3 :].reshape(b, 2, s.num_col, s.num_lanes)
+        return {
+            "loc_row": loc_row,
+            "loc_col": loc_col,
+            "exist_row": exist_row,
+            "exist_col": exist_col,
+        }
+
+
+@dataclass(frozen=True)
+class UFLDv1Spec:
+    """Static geometry of a UFLD v1 variant."""
+
+    input_height: int = 288
+    input_width: int = 800
+    griding_num: int = 100
+    cls_num_per_lane: int = 56
+    num_lanes: int = 4
+    backbone: str = "18"
+    mlp_mid: int = 2048
+    img_w: int = 1280
+    img_h: int = 720
+    row_anchor: tuple = field(
+        default_factory=lambda: tuple(np.linspace(64, 284, 56))
+    )
+
+
+UFLDV1_SPECS: Dict[LaneModelType, UFLDv1Spec] = {
+    LaneModelType.UFLD_TUSIMPLE: UFLDv1Spec(
+        griding_num=100, cls_num_per_lane=56, img_w=1280, img_h=720,
+        row_anchor=tuple(np.linspace(64, 284, 56)),
+    ),
+    LaneModelType.UFLD_CULANE: UFLDv1Spec(
+        griding_num=200, cls_num_per_lane=18, img_w=1640, img_h=590,
+        row_anchor=tuple(
+            round(v) for v in np.linspace(121, 287, 18)
+        ),
+    ),
+}
+
+
+class UFLDv1Net(nn.Module):
+    """UFLD v1: grid-classification lane detector."""
+
+    spec: UFLDv1Spec
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        s = self.spec
+        _, _, fea = ResNetFeatures(
+            depth=s.backbone, dtype=self.dtype, name="backbone"
+        )(x, train=train)
+        fea = nn.Conv(8, (1, 1), use_bias=True, dtype=self.dtype, name="pool")(
+            fea
+        )
+        b = fea.shape[0]
+        fea = fea.transpose(0, 3, 1, 2).reshape(b, -1)  # 8*(h/32)*(w/32)=1800
+        h = nn.Dense(s.mlp_mid, dtype=self.dtype, name="cls_fc1")(fea)
+        h = nn.relu(h)
+        out = nn.Dense(
+            (s.griding_num + 1) * s.cls_num_per_lane * s.num_lanes,
+            dtype=self.dtype,
+            name="cls_fc2",
+        )(h)
+        return out.reshape(
+            b, s.griding_num + 1, s.cls_num_per_lane, s.num_lanes
+        )

@@ -1,0 +1,314 @@
+"""Lane detection facades: UFLD v1 / v2 on the fused TPU path.
+
+Public API parity with the reference detectors
+(TrafficLaneDetector/ufldDetector/*.py): ``set_defaults`` class config,
+``DetectFrame``, ``DrawDetectedOnFrame``, ``DrawAreaOnFrame``,
+``AutoDrawLanes`` and a ``lane_info`` attribute.  Architecture differs
+deliberately (SURVEY.md §7): preprocessing, backbone, head and anchor
+decode run as ONE jitted XLA graph per frame shape — the frame crosses
+host->device once as uint8 and only compact coordinate tensors return.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.ufld import (
+    UFLDV1_SPECS,
+    UFLDV2_SPECS,
+    UFLDv1Net,
+    UFLDv2Net,
+)
+from ..ops.preprocess import ufld_v1_preprocess, ufld_v2_preprocess
+from ..ops.ufld_decode import ufld_v1_decode, ufld_v2_decode
+from ..utils.types import LANE_COLORS, LaneInfo, LaneModelType, OffsetType
+
+
+class LaneDetectBase:
+    """Config + drawing surface shared by the lane detectors."""
+
+    _defaults = {"model_path": None, "model_type": None}
+
+    @classmethod
+    def set_defaults(cls, config: dict) -> None:
+        cls._defaults = config
+
+    @classmethod
+    def check_defaults(cls) -> dict:
+        return cls._defaults
+
+    @classmethod
+    def get_defaults(cls, name: str):
+        if name in cls._defaults:
+            return cls._defaults[name]
+        return f"Unrecognized attribute name '{name}'"
+
+    def __init__(self, logger=None):
+        self.__dict__.update(self._defaults)
+        self.logger = logger
+        self.adjust_lanes = False
+        self.lane_info = LaneInfo()
+
+    # -- drawing (host-side visualization shell, cv2 only here) ----------
+    def DrawDetectedOnFrame(
+        self, image, type: OffsetType = OffsetType.UNKNOWN, alpha: float = 0.3
+    ) -> None:
+        import cv2
+
+        overlay = image.copy()
+        for lane_num, lane_points in enumerate(self.lane_info.lanes_points):
+            if lane_num == 1 and type == OffsetType.RIGHT:
+                color = (0, 0, 255)
+            elif lane_num == 2 and type == OffsetType.LEFT:
+                color = (0, 0, 255)
+            else:
+                color = LANE_COLORS[lane_num]
+            for x, y in lane_points:
+                cv2.circle(overlay, (int(x), int(y)), 3, color, thickness=-1)
+        image[:] = cv2.addWeighted(overlay, alpha, image, 1 - alpha, 0)
+
+    def DrawAreaOnFrame(
+        self, image, color: tuple = (255, 191, 0), alpha: float = 0.85
+    ) -> None:
+        import cv2
+
+        if self.lane_info.area_status and len(self.lane_info.area_points):
+            overlay = image.copy()
+            pts = np.asarray(self.lane_info.area_points, np.int32)
+            cv2.fillPoly(overlay, pts=[pts], color=color)
+            image[:] = cv2.addWeighted(image, alpha, overlay, 1 - alpha, 0)
+
+    def AutoDrawLanes(self, image, draw_points: bool = True, draw_area: bool = True):
+        self.DetectFrame(image, adjust_lanes=True)
+        if draw_points:
+            self.DrawDetectedOnFrame(image)
+        if draw_area:
+            self.DrawAreaOnFrame(image)
+        return image
+
+    def _finalize(self, img_height: int) -> None:
+        self.lane_info.update_status()
+        self.lane_info.update_area(img_height, adjust_lanes=self.adjust_lanes)
+
+
+class UltrafastLaneDetectorV2(LaneDetectBase):
+    """UFLDv2 detector: fused preprocess+forward+decode on device.
+
+    ``weights``: flax variables dict, path to ``.npz`` (params_io), or path
+    to a torch ``.pth`` checkpoint; None -> random init (shape-correct,
+    useful for benchmarks/smoke tests).
+    """
+
+    _defaults = {
+        "model_path": None,
+        "model_type": LaneModelType.UFLDV2_CULANE,
+    }
+
+    def __init__(
+        self,
+        model_path: Optional[str] = None,
+        model_type: Optional[LaneModelType] = None,
+        logger=None,
+        dtype=jnp.float32,
+    ):
+        super().__init__(logger)
+        if model_path is not None or model_type is not None:
+            self.model_path, self.model_type = model_path, model_type
+
+        if self.model_type not in (
+            LaneModelType.UFLDV2_TUSIMPLE,
+            LaneModelType.UFLDV2_CULANE,
+        ):
+            msg = f"UltrafastLaneDetectorV2 can't use {self.model_type} type."
+            if self.logger:
+                self.logger.error(msg)
+            raise ValueError(msg)
+
+        self.spec = UFLDV2_SPECS[self.model_type]
+        self.net = UFLDv2Net(self.spec, dtype=dtype)
+        self.variables = _load_weights(
+            self.model_path, self.net,
+            (1, self.spec.input_height, self.spec.input_width, 3),
+            version=2, fc_norm=self.spec.fc_norm,
+        )
+        self._step = self._build_step()
+        if self.logger:
+            self.logger.info(
+                f"UfldDetectorV2 [{self.model_type.name}] input "
+                f"{self.spec.input_height}x{self.spec.input_width} xla"
+            )
+
+    def _build_step(self):
+        """uint8 BGR (H, W, 3) -> decoded lane tensors, one jitted graph.
+        Jit cache keyed on the source frame shape."""
+        spec, net = self.spec, self.net
+
+        @jax.jit
+        def step(variables, frame_bgr):
+            x = ufld_v2_preprocess(
+                frame_bgr[None], spec.input_height, spec.input_width,
+                spec.crop_ratio, dtype=net.dtype,
+            )
+            outputs = net.apply(variables, x)
+            outputs = {k: v.astype(jnp.float32) for k, v in outputs.items()}
+            return ufld_v2_decode(outputs)
+
+        return step
+
+    def DetectFrame(self, image: np.ndarray, adjust_lanes: bool = False) -> None:
+        h, w = image.shape[:2]
+        decoded = self._step(self.variables, jnp.asarray(image))
+        decoded = jax.device_get(decoded)
+        self.adjust_lanes = adjust_lanes
+        self._assemble(decoded, w, h)
+        self._finalize(h)
+
+    def _assemble(self, decoded: dict, img_w: int, img_h: int) -> None:
+        """Host-side point-list assembly (reference
+        ultrafastLaneDetectorV2.py:139-181 semantics)."""
+        s = self.spec
+        row_x = decoded["row_x"][0] * img_w  # (R, L)
+        row_valid = decoded["row_valid"][0]
+        col_y = decoded["col_y"][0] * img_h  # (C, L)
+        col_valid = decoded["col_valid"][0]
+        row_anchor, col_anchor = s.row_anchor, s.col_anchor
+
+        points = {k: [] for k in ("left-side", "left-ego", "right-ego", "right-side")}
+        detected = {k: False for k in points}
+        for i, key in ((1, "left-ego"), (2, "right-ego")):
+            if row_valid[:, i].sum() > s.num_row / 2:
+                pts = [
+                    (int(row_x[k, i]), int(row_anchor[k] * img_h))
+                    for k in range(s.num_row)
+                    if row_valid[k, i]
+                ]
+                points[key].extend(pts)
+                if len(pts) > 2:
+                    detected[key] = True
+        for i, key in ((0, "left-side"), (3, "right-side")):
+            if col_valid[:, i].sum() > s.num_col / 4:
+                pts = [
+                    (int(col_anchor[k] * img_w), int(col_y[k, i]))
+                    for k in range(s.num_col)
+                    if col_valid[k, i]
+                ]
+                points[key].extend(pts)
+                if len(pts) > 2:
+                    detected[key] = True
+
+        self.lane_info.lanes_points = np.array(
+            list(points.values()), dtype=object
+        )
+        self.lane_info.lanes_status = list(detected.values())
+
+
+class UltrafastLaneDetector(LaneDetectBase):
+    """UFLD v1 detector on the fused device path."""
+
+    _defaults = {
+        "model_path": None,
+        "model_type": LaneModelType.UFLD_TUSIMPLE,
+    }
+
+    def __init__(
+        self,
+        model_path: Optional[str] = None,
+        model_type: Optional[LaneModelType] = None,
+        logger=None,
+        dtype=jnp.float32,
+    ):
+        super().__init__(logger)
+        if model_path is not None or model_type is not None:
+            self.model_path, self.model_type = model_path, model_type
+        if self.model_type not in (
+            LaneModelType.UFLD_TUSIMPLE,
+            LaneModelType.UFLD_CULANE,
+        ):
+            msg = f"UltrafastLaneDetector can't use {self.model_type} type."
+            if self.logger:
+                self.logger.error(msg)
+            raise ValueError(msg)
+
+        self.spec = UFLDV1_SPECS[self.model_type]
+        self.net = UFLDv1Net(self.spec, dtype=dtype)
+        self.variables = _load_weights(
+            self.model_path, self.net,
+            (1, self.spec.input_height, self.spec.input_width, 3),
+            version=1,
+        )
+        self._step = self._build_step()
+
+    def _build_step(self):
+        spec, net = self.spec, self.net
+
+        @jax.jit
+        def step(variables, frame_bgr):
+            x = ufld_v1_preprocess(
+                frame_bgr[None], spec.input_height, spec.input_width,
+                dtype=net.dtype,
+            )
+            logits = net.apply(variables, x).astype(jnp.float32)
+            return ufld_v1_decode(logits)
+
+        return step
+
+    def DetectFrame(self, image: np.ndarray, adjust_lanes: bool = False) -> None:
+        h, w = image.shape[:2]
+        loc = np.asarray(self._step(self.variables, jnp.asarray(image))[0])
+        self.adjust_lanes = adjust_lanes
+        self._assemble(loc, w, h)
+        self._finalize(h)
+
+    def _assemble(self, loc: np.ndarray, img_w: int, img_h: int) -> None:
+        """Reference ultrafastLaneDetector.py:113-136 point math."""
+        s = self.spec
+        h_ratio, w_ratio = img_h / s.img_h, img_w / s.img_w
+        col_sample_w = (s.input_width - 1) / (s.griding_num - 1)
+        lanes_points, lanes_detected = [], []
+        for lane in range(loc.shape[1]):
+            pts = []
+            if np.sum(loc[:, lane] != 0) > 2:
+                lanes_detected.append(True)
+                for k in range(loc.shape[0]):
+                    if loc[k, lane] > 0:
+                        x = (
+                            loc[k, lane] * col_sample_w * s.img_w / s.input_width
+                            - 1
+                        )
+                        y = (
+                            s.img_h
+                            * (
+                                s.row_anchor[s.cls_num_per_lane - 1 - k]
+                                / s.input_height
+                            )
+                            - 1
+                        )
+                        pts.append([int(x * w_ratio), int(y * h_ratio)])
+            else:
+                lanes_detected.append(False)
+            lanes_points.append(pts)
+        self.lane_info.lanes_points = np.array(lanes_points, dtype=object)
+        self.lane_info.lanes_status = lanes_detected
+
+
+def _load_weights(model_path, net, input_shape, version=2, fc_norm=True):
+    """Resolve weights from .npz / .pth / None(random)."""
+    if model_path is None:
+        rng = jax.random.PRNGKey(0)
+        return net.init(rng, jnp.zeros(input_shape, jnp.float32))
+    if str(model_path).endswith(".npz"):
+        from ..tools.params_io import load_params
+
+        return load_params(model_path)
+    if str(model_path).endswith((".pth", ".pt")):
+        from ..tools.torch_import import load_state_dict, ufld_variables
+
+        return ufld_variables(
+            load_state_dict(model_path), version=version, fc_norm=fc_norm
+        )
+    raise ValueError(
+        f"Unsupported weight format: {model_path} (expect .npz/.pth or None)"
+    )

@@ -1,0 +1,110 @@
+"""Golden parity: JAX model zoo vs torch oracle nets with shared weights."""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from adas_tpu.models.resnet import ResNetFeatures  # noqa: E402
+from adas_tpu.models.ufld import (  # noqa: E402
+    UFLDv1Net,
+    UFLDv1Spec,
+    UFLDv2Net,
+    UFLDv2Spec,
+)
+from adas_tpu.tools.torch_import import (  # noqa: E402
+    resnet_variables,
+    ufld_variables,
+)
+from torch_nets import (  # noqa: E402
+    TorchResNet18,
+    TorchUFLDv1,
+    TorchUFLDv2,
+    randomize_bn_stats,
+)
+
+
+def state_to_numpy(model):
+    return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+
+@pytest.fixture(scope="module")
+def torch_seed():
+    torch.manual_seed(0)
+    return 0
+
+
+def test_resnet18_feature_parity(torch_seed):
+    tmodel = TorchResNet18().eval()
+    randomize_bn_stats(tmodel)
+    x = torch.randn(1, 3, 64, 96)
+    with torch.no_grad():
+        tx2, tx3, tx4 = tmodel(x)
+
+    variables = resnet_variables(state_to_numpy(tmodel))
+    jx = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    jx2, jx3, jx4 = ResNetFeatures(depth="18").apply(variables, jx)
+
+    for got, want in [(jx2, tx2), (jx3, tx3), (jx4, tx4)]:
+        np.testing.assert_allclose(
+            np.array(got).transpose(0, 3, 1, 2), want.numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+
+
+@pytest.mark.parametrize("fc_norm", [True, False])
+def test_ufldv2_parity(torch_seed, fc_norm):
+    h, w = 64, 160
+    spec = UFLDv2Spec(
+        input_height=h, input_width=w, crop_ratio=0.6,
+        num_cell_row=10, num_row=6, num_cell_col=8, num_col=5,
+        num_lanes=2, fc_norm=fc_norm, mlp_mid=64,
+    )
+    tmodel = TorchUFLDv2(h, w, spec.dims, fc_norm=fc_norm).eval()
+    randomize_bn_stats(tmodel)
+    x = torch.randn(2, 3, h, w)
+    with torch.no_grad():
+        tout = tmodel(x).numpy()
+
+    variables = ufld_variables(
+        state_to_numpy(tmodel), version=2, fc_norm=fc_norm
+    )
+    jx = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    out = UFLDv2Net(spec).apply(variables, jx)
+    # reassemble concat order: loc_row | loc_col | exist_row | exist_col
+    b = tout.shape[0]
+    got = np.concatenate(
+        [
+            np.array(out["loc_row"]).reshape(b, -1),
+            np.array(out["loc_col"]).reshape(b, -1),
+            np.array(out["exist_row"]).reshape(b, -1),
+            np.array(out["exist_col"]).reshape(b, -1),
+        ],
+        axis=1,
+    )
+    np.testing.assert_allclose(got, tout, atol=5e-4, rtol=1e-3)
+
+
+def test_ufldv1_parity(torch_seed):
+    h, w = 64, 96
+    spec = UFLDv1Spec(
+        input_height=h, input_width=w, griding_num=10,
+        cls_num_per_lane=4, num_lanes=2, mlp_mid=64,
+    )
+    total = (spec.griding_num + 1) * spec.cls_num_per_lane * spec.num_lanes
+    tmodel = TorchUFLDv1(h, w, total).eval()
+    randomize_bn_stats(tmodel)
+    x = torch.randn(1, 3, h, w)
+    with torch.no_grad():
+        tout = tmodel(x).numpy()
+
+    variables = ufld_variables(state_to_numpy(tmodel), version=1)
+    jx = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    out = np.array(UFLDv1Net(spec).apply(variables, jx))
+    np.testing.assert_allclose(
+        out.reshape(1, -1), tout.reshape(1, -1), atol=5e-4, rtol=1e-3
+    )
+    assert out.shape == (
+        1, spec.griding_num + 1, spec.cls_num_per_lane, spec.num_lanes
+    )
