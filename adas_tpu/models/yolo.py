@@ -1,0 +1,539 @@
+"""YOLO detector families in flax (NHWC, TPU-native).
+
+Hand-built graphs for the three architecturally distinct families the
+reference supports (ObjectDetector/utils.py:15-23):
+
+* YOLOv5  — C3/SPPF CSP net, anchor-based head, (B, N, 5+nc) output
+* YOLOv8  — C2f/SPPF CSP net, anchor-free DFL head, (B, 4+nc, N) output
+  (YOLOv9 exports the same output contract)
+* YOLOv10 — v8 trunk with SCDown/PSA/C2fCIB, dual one-to-many /
+  one-to-one heads; one-to-one + top-k gives the NMS-free path
+
+Outputs match the corresponding official ONNX export contracts so the
+downstream decode (ops/yolo_decode.py) is shared between these native
+graphs and ONNX-ingested models.  Weight scaling tables follow the
+public ultralytics model cards.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .layers import ConvBN, max_pool, resize_nearest_2x
+
+# depth_multiple, width_multiple, max_channels
+_V8_SCALES = {
+    "n": (1 / 3, 0.25, 1024),
+    "s": (1 / 3, 0.50, 1024),
+    "m": (2 / 3, 0.75, 768),
+    "l": (1.0, 1.00, 512),
+    "x": (1.0, 1.25, 512),
+}
+_V5_SCALES = {
+    "n": (1 / 3, 0.25, 1024),
+    "s": (1 / 3, 0.50, 1024),
+    "m": (2 / 3, 0.75, 1024),
+    "l": (1.0, 1.00, 1024),
+    "x": (4 / 3, 1.25, 1024),
+}
+
+V5_ANCHORS = (
+    ((10, 13), (16, 30), (33, 23)),
+    ((30, 61), (62, 45), (59, 119)),
+    ((116, 90), (156, 198), (373, 326)),
+)
+
+
+def _make_divisible(x: float, divisor: int = 8) -> int:
+    return max(divisor, int(math.ceil(x / divisor) * divisor))
+
+
+def _scale_channels(c: int, width: float, max_ch: int) -> int:
+    return _make_divisible(min(c, max_ch) * width)
+
+
+def _scale_depth(n: int, depth: float) -> int:
+    return max(1, round(n * depth))
+
+
+@dataclass(frozen=True)
+class YoloSpec:
+    family: str  # "v5" | "v8" | "v10"
+    scale: str = "n"
+    num_classes: int = 80
+    input_size: Tuple[int, int] = (640, 640)
+    strides: Tuple[int, ...] = (8, 16, 32)
+    reg_max: int = 16  # DFL bins (v8/v10)
+
+    @property
+    def channels(self) -> Sequence[int]:
+        table = _V5_SCALES if self.family == "v5" else _V8_SCALES
+        d, w, mc = table[self.scale]
+        return [_scale_channels(c, w, mc) for c in (64, 128, 256, 512, 1024)]
+
+    @property
+    def depths(self) -> Sequence[int]:
+        table = _V5_SCALES if self.family == "v5" else _V8_SCALES
+        d, _, _ = table[self.scale]
+        base = (3, 6, 9, 3) if self.family == "v5" else (3, 6, 6, 3)
+        return [_scale_depth(n, d) for n in base]
+
+    @property
+    def num_anchors(self) -> int:
+        h, w = self.input_size
+        return sum((h // s) * (w // s) for s in self.strides)
+
+
+class Bottleneck(nn.Module):
+    features: int
+    shortcut: bool = True
+    expansion: float = 0.5
+    kernels: Tuple[int, int] = (3, 3)
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        hidden = int(self.features * self.expansion)
+        y = ConvBN(hidden, (self.kernels[0],) * 2, name="cv1")(x, train)
+        y = ConvBN(self.features, (self.kernels[1],) * 2, name="cv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.features:
+            y = x + y
+        return y
+
+
+class C3(nn.Module):
+    """YOLOv5 CSP block with 3 convolutions."""
+
+    features: int
+    n: int = 1
+    shortcut: bool = True
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        hidden = self.features // 2
+        a = ConvBN(hidden, (1, 1), name="cv1")(x, train)
+        for i in range(self.n):
+            a = Bottleneck(
+                hidden, self.shortcut, expansion=1.0, kernels=(1, 3),
+                name=f"m{i}",
+            )(a, train)
+        b = ConvBN(hidden, (1, 1), name="cv2")(x, train)
+        return ConvBN(self.features, (1, 1), name="cv3")(
+            jnp.concatenate([a, b], axis=-1), train
+        )
+
+
+class C2f(nn.Module):
+    """YOLOv8 cross-stage block: split + cascaded bottlenecks, concat all."""
+
+    features: int
+    n: int = 1
+    shortcut: bool = False
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        hidden = self.features // 2
+        y = ConvBN(2 * hidden, (1, 1), name="cv1")(x, train)
+        parts = [y[..., :hidden], y[..., hidden:]]
+        for i in range(self.n):
+            parts.append(
+                Bottleneck(
+                    hidden, self.shortcut, expansion=1.0, kernels=(3, 3),
+                    name=f"m{i}",
+                )(parts[-1], train)
+            )
+        return ConvBN(self.features, (1, 1), name="cv2")(
+            jnp.concatenate(parts, axis=-1), train
+        )
+
+
+class SPPF(nn.Module):
+    """Spatial pyramid pooling (fast): 3 cascaded 5x5 maxpools."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        hidden = x.shape[-1] // 2
+        y = ConvBN(hidden, (1, 1), name="cv1")(x, train)
+        p1 = max_pool(y, 5, 1, pad=2)
+        p2 = max_pool(p1, 5, 1, pad=2)
+        p3 = max_pool(p2, 5, 1, pad=2)
+        return ConvBN(self.features, (1, 1), name="cv2")(
+            jnp.concatenate([y, p1, p2, p3], axis=-1), train
+        )
+
+
+class SCDown(nn.Module):
+    """YOLOv10 spatial-channel decoupled downsample."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        y = ConvBN(self.features, (1, 1), name="cv1")(x, train)
+        return ConvBN(
+            self.features, (3, 3), strides=(2, 2), groups=self.features,
+            act=None, name="cv2",
+        )(y, train)
+
+
+class CIB(nn.Module):
+    """Compact inverted block (YOLOv10)."""
+
+    features: int
+    shortcut: bool = True
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        cin = x.shape[-1]
+        y = ConvBN(cin, (3, 3), groups=cin, name="cv0")(x, train)
+        y = ConvBN(2 * self.features, (1, 1), name="cv1")(y, train)
+        y = ConvBN(
+            2 * self.features, (3, 3), groups=2 * self.features, name="cv2"
+        )(y, train)
+        y = ConvBN(self.features, (1, 1), name="cv3")(y, train)
+        y = ConvBN(
+            self.features, (3, 3), groups=self.features, name="cv4"
+        )(y, train)
+        if self.shortcut and cin == self.features:
+            y = x + y
+        return y
+
+
+class C2fCIB(nn.Module):
+    features: int
+    n: int = 1
+    shortcut: bool = True
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        hidden = self.features // 2
+        y = ConvBN(2 * hidden, (1, 1), name="cv1")(x, train)
+        parts = [y[..., :hidden], y[..., hidden:]]
+        for i in range(self.n):
+            parts.append(
+                CIB(hidden, self.shortcut, name=f"m{i}")(parts[-1], train)
+            )
+        return ConvBN(self.features, (1, 1), name="cv2")(
+            jnp.concatenate(parts, axis=-1), train
+        )
+
+
+class PSA(nn.Module):
+    """Partial self-attention block (YOLOv10): attention over half the
+    channels of the stride-32 map."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        hidden = self.features // 2
+        y = ConvBN(self.features, (1, 1), name="cv1")(x, train)
+        a, b = y[..., :hidden], y[..., hidden:]
+
+        # single-head scaled dot-product attention, head_dim = hidden // 2
+        B, H, W, C = b.shape
+        num_heads = max(1, hidden // 64)
+        head_dim = C // num_heads
+        key_dim = head_dim // 2
+        qkv = ConvBN(
+            num_heads * (2 * key_dim + head_dim), (1, 1), act=None,
+            name="attn_qkv",
+        )(b, train)
+        qkv = qkv.reshape(B, H * W, num_heads, 2 * key_dim + head_dim)
+        q, k, v = jnp.split(qkv, [key_dim, 2 * key_dim], axis=-1)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) / math.sqrt(key_dim)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, H, W, C)
+        pe = ConvBN(C, (3, 3), groups=C, act=None, name="attn_pe")(v.reshape(B, H, W, C), train)
+        out = ConvBN(C, (1, 1), act=None, name="attn_proj")(out + pe, train)
+        b = b + out
+        ffn = ConvBN(C * 2, (1, 1), name="ffn1")(b, train)
+        b = b + ConvBN(C, (1, 1), act=None, name="ffn2")(ffn, train)
+        return ConvBN(self.features, (1, 1), name="cv2")(
+            jnp.concatenate([a, b], axis=-1), train
+        )
+
+
+class YoloBackboneNeck(nn.Module):
+    """Shared CSP backbone + PAN neck; block type per family."""
+
+    spec: YoloSpec
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        s = self.spec
+        ch = s.channels
+        d = s.depths
+        v10 = s.family == "v10"
+        Block = C3 if s.family == "v5" else C2f
+
+        if s.family == "v5":
+            x = ConvBN(ch[0], (6, 6), strides=(2, 2), name="stem")(x, train)
+        else:
+            x = ConvBN(ch[0], (3, 3), strides=(2, 2), name="stem")(x, train)
+        x = ConvBN(ch[1], (3, 3), strides=(2, 2), name="down1")(x, train)
+        x = Block(ch[1], d[0], True, name="stage1")(x, train)
+        x = ConvBN(ch[2], (3, 3), strides=(2, 2), name="down2")(x, train)
+        p3 = Block(ch[2], d[1], True, name="stage2")(x, train)
+        x = ConvBN(ch[3], (3, 3), strides=(2, 2), name="down3")(p3, train)
+        p4 = Block(ch[3], d[2], True, name="stage3")(x, train)
+        if v10:
+            x = SCDown(ch[4], name="down4")(p4, train)
+            x = C2fCIB(ch[4], d[3], True, name="stage4")(x, train)
+        else:
+            x = ConvBN(ch[4], (3, 3), strides=(2, 2), name="down4")(p4, train)
+            x = Block(ch[4], d[3], True, name="stage4")(x, train)
+        p5 = SPPF(ch[4], name="sppf")(x, train)
+        if v10:
+            p5 = PSA(ch[4], name="psa")(p5, train)
+
+        # PAN neck
+        if s.family == "v5":
+            # v5 reduces channels before upsampling
+            p5r = ConvBN(ch[3], (1, 1), name="lat5")(p5, train)
+            y = jnp.concatenate([resize_nearest_2x(p5r), p4], axis=-1)
+            t1 = C3(ch[3], d[0], False, name="fpn4")(y, train)
+            t1r = ConvBN(ch[2], (1, 1), name="lat4")(t1, train)
+            y = jnp.concatenate([resize_nearest_2x(t1r), p3], axis=-1)
+            n3 = C3(ch[2], d[0], False, name="fpn3")(y, train)
+            y = ConvBN(ch[2], (3, 3), strides=(2, 2), name="pan3")(n3, train)
+            n4 = C3(ch[3], d[0], False, name="pan4")(
+                jnp.concatenate([y, t1r], axis=-1), train
+            )
+            y = ConvBN(ch[3], (3, 3), strides=(2, 2), name="pan5_down")(
+                n4, train
+            )
+            n5 = C3(ch[4], d[0], False, name="pan5")(
+                jnp.concatenate([y, p5r], axis=-1), train
+            )
+        else:
+            y = jnp.concatenate([resize_nearest_2x(p5), p4], axis=-1)
+            t1 = C2f(ch[3], d[0], False, name="fpn4")(y, train)
+            y = jnp.concatenate([resize_nearest_2x(t1), p3], axis=-1)
+            n3 = C2f(ch[2], d[0], False, name="fpn3")(y, train)
+            y = ConvBN(ch[2], (3, 3), strides=(2, 2), name="pan3")(n3, train)
+            NBlock4 = C2fCIB if (v10 and s.scale not in ("n", "s")) else C2f
+            n4 = NBlock4(ch[3], d[0], v10, name="pan4")(
+                jnp.concatenate([y, t1], axis=-1), train
+            )
+            if v10:
+                y = SCDown(ch[3], name="pan5_down")(n4, train)
+                n5 = C2fCIB(ch[4], d[0], True, name="pan5")(
+                    jnp.concatenate([y, p5], axis=-1), train
+                )
+            else:
+                y = ConvBN(ch[3], (3, 3), strides=(2, 2), name="pan5_down")(
+                    n4, train
+                )
+                n5 = C2f(ch[4], d[0], False, name="pan5")(
+                    jnp.concatenate([y, p5], axis=-1), train
+                )
+        return n3, n4, n5
+
+
+def _dfl_decode(box_logits: jnp.ndarray, reg_max: int) -> jnp.ndarray:
+    """Distribution-focal box decode: (..., 4*reg_max) -> (..., 4) ltrb."""
+    shape = box_logits.shape[:-1]
+    logits = box_logits.reshape(*shape, 4, reg_max)
+    probs = jax.nn.softmax(logits, axis=-1)
+    bins = jnp.arange(reg_max, dtype=probs.dtype)
+    return jnp.sum(probs * bins, axis=-1)
+
+
+def _anchor_points(
+    input_size: Tuple[int, int], strides: Sequence[int]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Grid-cell centers (x, y) + per-anchor stride, flattened over levels."""
+    points, strides_out = [], []
+    h, w = input_size
+    for s in strides:
+        gh, gw = h // s, w // s
+        ys, xs = jnp.meshgrid(
+            jnp.arange(gh, dtype=jnp.float32) + 0.5,
+            jnp.arange(gw, dtype=jnp.float32) + 0.5,
+            indexing="ij",
+        )
+        points.append(jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1))
+        strides_out.append(jnp.full((gh * gw,), float(s)))
+    return jnp.concatenate(points), jnp.concatenate(strides_out)
+
+
+class DetectHeadV8(nn.Module):
+    """Anchor-free decoupled head with DFL (shared by v8/v9 contract)."""
+
+    spec: YoloSpec
+    suffix: str = ""
+    lightweight_cls: bool = False  # v10-style depthwise cls branch
+
+    @nn.compact
+    def __call__(self, feats, train=False):
+        s = self.spec
+        nc = s.num_classes
+        c2 = max(16, s.channels[2] // 4, s.reg_max * 4)
+        c3 = max(s.channels[2], min(nc, 100))
+        outs = []
+        for li, f in enumerate(feats):
+            box = ConvBN(c2, (3, 3), name=f"box{self.suffix}{li}_0")(f, train)
+            box = ConvBN(c2, (3, 3), name=f"box{self.suffix}{li}_1")(box, train)
+            box = nn.Conv(
+                4 * s.reg_max, (1, 1), name=f"box{self.suffix}{li}_2"
+            )(box)
+            if self.lightweight_cls:
+                cin = f.shape[-1]
+                cls = ConvBN(
+                    cin, (3, 3), groups=cin, name=f"cls{self.suffix}{li}_0a"
+                )(f, train)
+                cls = ConvBN(c3, (1, 1), name=f"cls{self.suffix}{li}_0b")(
+                    cls, train
+                )
+                cls = ConvBN(
+                    c3, (3, 3), groups=c3, name=f"cls{self.suffix}{li}_1a"
+                )(cls, train)
+                cls = ConvBN(c3, (1, 1), name=f"cls{self.suffix}{li}_1b")(
+                    cls, train
+                )
+            else:
+                cls = ConvBN(c3, (3, 3), name=f"cls{self.suffix}{li}_0")(
+                    f, train
+                )
+                cls = ConvBN(c3, (3, 3), name=f"cls{self.suffix}{li}_1")(
+                    cls, train
+                )
+            cls = nn.Conv(nc, (1, 1), name=f"cls{self.suffix}{li}_2")(cls)
+            b, h, w, _ = box.shape
+            outs.append(
+                (
+                    box.reshape(b, h * w, 4 * s.reg_max),
+                    cls.reshape(b, h * w, nc),
+                )
+            )
+        box_flat = jnp.concatenate([o[0] for o in outs], axis=1)
+        cls_flat = jnp.concatenate([o[1] for o in outs], axis=1)
+
+        anchors, strides_arr = _anchor_points(s.input_size, s.strides)
+        ltrb = _dfl_decode(box_flat, s.reg_max)
+        x1y1 = anchors - ltrb[..., :2]
+        x2y2 = anchors + ltrb[..., 2:]
+        cxy = (x1y1 + x2y2) / 2
+        wh = x2y2 - x1y1
+        xywh = jnp.concatenate([cxy, wh], axis=-1) * strides_arr[None, :, None]
+        return xywh, jax.nn.sigmoid(cls_flat)
+
+
+class YoloV8(nn.Module):
+    """YOLOv8/v9-contract detector: output (B, 4+nc, N) like the official
+    ONNX export consumed at reference yoloDetector.py:114-122."""
+
+    spec: YoloSpec
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        feats = YoloBackboneNeck(self.spec, name="net")(x, train)
+        xywh, cls = DetectHeadV8(self.spec, name="head")(feats, train)
+        return jnp.concatenate([xywh, cls], axis=-1).transpose(0, 2, 1)
+
+
+class YoloV5(nn.Module):
+    """YOLOv5-contract detector: output (B, N, 5+nc) with objectness,
+    anchor-grid decode baked in like the official export
+    (consumed at reference yoloDetector.py:124)."""
+
+    spec: YoloSpec
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        s = self.spec
+        nc = s.num_classes
+        feats = YoloBackboneNeck(s, name="net")(x, train)
+        na = len(V5_ANCHORS[0])
+        outs = []
+        for li, f in enumerate(feats):
+            p = nn.Conv(na * (5 + nc), (1, 1), name=f"head{li}")(f)
+            b, h, w, _ = p.shape
+            p = p.reshape(b, h, w, na, 5 + nc)
+            p = jax.nn.sigmoid(p)
+            stride = s.strides[li]
+            ys, xs = jnp.meshgrid(
+                jnp.arange(h, dtype=jnp.float32),
+                jnp.arange(w, dtype=jnp.float32),
+                indexing="ij",
+            )
+            grid = jnp.stack([xs, ys], axis=-1)[None, :, :, None, :]
+            anchors = jnp.asarray(V5_ANCHORS[li], jnp.float32)[
+                None, None, None, :, :
+            ]
+            xy = (p[..., :2] * 2 - 0.5 + grid) * stride
+            wh = (p[..., 2:4] * 2) ** 2 * anchors
+            out = jnp.concatenate([xy, wh, p[..., 4:]], axis=-1)
+            outs.append(out.reshape(b, h * w * na, 5 + nc))
+        return jnp.concatenate(outs, axis=1)
+
+
+class YoloV10(nn.Module):
+    """YOLOv10: dual-head. ``__call__`` emits the one-to-many raw output in
+    the v8 contract (what the reference feeds through NMS,
+    yoloDetector.py:114-139); ``one2one`` emits top-k NMS-free detections
+    (B, k, 6) = (x1, y1, x2, y2, score, class)."""
+
+    spec: YoloSpec
+    max_det: int = 300
+
+    def setup(self):
+        self.net = YoloBackboneNeck(self.spec)
+        self.head_o2m = DetectHeadV8(self.spec, suffix="m")
+        self.head_o2o = DetectHeadV8(
+            self.spec, suffix="o", lightweight_cls=True
+        )
+
+    def __call__(self, x, train=False):
+        feats = self.net(x, train)
+        xywh, cls = self.head_o2m(feats, train)
+        return jnp.concatenate([xywh, cls], axis=-1).transpose(0, 2, 1)
+
+    def both(self, x, train=False):
+        """Touches both heads — use as the init method so the full
+        parameter tree (o2m + o2o) is created."""
+        feats = self.net(x, train)
+        xywh_m, cls_m = self.head_o2m(feats, train)
+        raw = jnp.concatenate([xywh_m, cls_m], axis=-1).transpose(0, 2, 1)
+        return raw, self._o2o_from_feats(feats, train)
+
+    def one2one(self, x, train=False):
+        feats = self.net(x, train)
+        return self._o2o_from_feats(feats, train)
+
+    def _o2o_from_feats(self, feats, train=False):
+        xywh, cls = self.head_o2o(feats, train)
+        scores = jnp.max(cls, axis=-1)
+        class_ids = jnp.argmax(cls, axis=-1)
+        k = min(self.max_det, scores.shape[1])
+        top_scores, idx = jax.lax.top_k(scores, k)
+        top_xywh = jnp.take_along_axis(xywh, idx[..., None], axis=1)
+        top_cls = jnp.take_along_axis(class_ids, idx, axis=1)
+        x1y1 = top_xywh[..., :2] - top_xywh[..., 2:] / 2
+        x2y2 = top_xywh[..., :2] + top_xywh[..., 2:] / 2
+        return jnp.concatenate(
+            [
+                x1y1,
+                x2y2,
+                top_scores[..., None],
+                top_cls[..., None].astype(jnp.float32),
+            ],
+            axis=-1,
+        )
+
+
+def build_yolo(spec: YoloSpec) -> nn.Module:
+    if spec.family == "v5":
+        return YoloV5(spec)
+    if spec.family == "v8":
+        return YoloV8(spec)
+    if spec.family == "v10":
+        return YoloV10(spec)
+    raise ValueError(f"unknown yolo family {spec.family}")

@@ -1,0 +1,281 @@
+"""Object detection facades: YOLO v5..v10 / EfficientDet on the fused path.
+
+API parity with the reference detectors (ObjectDetector/yoloDetector.py:52-192,
+efficientdetDetector.py:18-110): ``set_defaults``, ``DetectFrame``,
+``DrawDetectedOnFrame``, ``object_info`` returning ``RectInfo`` rows.
+
+Architecture (SURVEY.md §7): one jitted graph per source frame shape runs
+letterbox -> backbone -> head -> decode -> NMS -> inverse letterbox on
+device; a single compact (max_det, 6) tensor returns to host.
+"""
+from __future__ import annotations
+
+import os
+import random
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.yolo import YoloSpec, build_yolo
+from ..ops.preprocess import (
+    LetterboxGeometry,
+    imagenet_preprocess,
+    letterbox,
+    yolo_preprocess,
+)
+from ..ops.yolo_decode import (
+    decode_predictions,
+    detections_to_original,
+    select_and_nms,
+)
+from ..utils.types import ObjectModelType, RectInfo, hex_to_rgb
+
+DEFAULT_CLASSES = os.path.join(
+    os.path.dirname(os.path.dirname(__file__)), "data", "coco_label.txt"
+)
+
+_FAMILY_OF = {
+    ObjectModelType.YOLOV5: "v5",
+    ObjectModelType.YOLOV5_LITE: "v5",
+    ObjectModelType.YOLOV6: "v5",  # same output contract as v5/v7
+    ObjectModelType.YOLOV7: "v5",
+    ObjectModelType.YOLOV8: "v8",
+    ObjectModelType.YOLOV9: "v8",
+    ObjectModelType.YOLOV10: "v10",
+}
+
+
+class ObjectDetectBase:
+    """Config + drawing surface shared by the object detectors."""
+
+    _defaults = {
+        "model_path": None,
+        "model_type": None,
+        "classes_path": None,
+        "box_score": None,
+    }
+
+    @classmethod
+    def set_defaults(cls, config: dict) -> None:
+        cls._defaults = config
+
+    @classmethod
+    def check_defaults(cls) -> dict:
+        return cls._defaults
+
+    @classmethod
+    def get_defaults(cls, name: str):
+        if name in cls._defaults:
+            return cls._defaults[name]
+        return f"Unrecognized attribute name '{name}'"
+
+    def __init__(self, logger=None):
+        self.__dict__.update(self._defaults)
+        self.logger = logger
+
+    @property
+    def object_info(self) -> List[RectInfo]:
+        if not hasattr(self, "_object_info"):
+            self._object_info = []
+            if self.logger:
+                self.logger.war(
+                    "Can't get object information, maybe you forget to use "
+                    "detect api."
+                )
+        return self._object_info
+
+    def _initialize_class(self, classes_path: Optional[str]) -> None:
+        classes_path = os.path.expanduser(classes_path or DEFAULT_CLASSES)
+        if not os.path.isfile(classes_path):
+            raise FileNotFoundError(f"{classes_path} is not exist.")
+        with open(classes_path) as f:
+            self.class_names = [c.strip() for c in f.readlines()]
+        colors = [
+            hex_to_rgb("#%06x" % random.randint(0, 0xFFFFFF))
+            for _ in self.class_names
+        ]
+        self.colors_dict = dict(zip(self.class_names, colors))
+
+    @staticmethod
+    def cornerRect(
+        img, bbox, t: int = 5, rt: int = 1,
+        colorR=(255, 0, 255), colorC=(0, 255, 0),
+    ):
+        import cv2
+
+        xmin, ymin, xmax, ymax = bbox
+        l = max(1, int(min(ymax - ymin, xmax - xmin) * 0.2))
+        if rt != 0:
+            cv2.rectangle(img, (xmin, ymin), (xmax, ymax), colorR, rt)
+        for (cx, cy), (dx, dy) in (
+            ((xmin, ymin), (l, 0)), ((xmin, ymin), (0, l)),
+            ((xmax, ymin), (-l, 0)), ((xmax, ymin), (0, l)),
+            ((xmin, ymax), (l, 0)), ((xmin, ymax), (0, -l)),
+            ((xmax, ymax), (-l, 0)), ((xmax, ymax), (0, -l)),
+        ):
+            cv2.line(img, (cx, cy), (cx + dx, cy + dy), colorC, t)
+        return img
+
+    def DrawDetectedOnFrame(self, frame_show: np.ndarray) -> None:
+        import cv2
+
+        tl = 3
+        for info in self.object_info:
+            xmin, ymin, xmax, ymax = info.tolist()
+            label = info.label
+            for kp in info.kpss:
+                cv2.circle(frame_show, kp, 1, (255, 255, 255), thickness=-1)
+            color = self.colors_dict.get(label, (0, 0, 0))
+            t_size = cv2.getTextSize(label, 0, fontScale=tl / 3, thickness=2)[0]
+            c2 = (xmin + t_size[0], ymin - t_size[1] - 3)
+            cv2.rectangle(frame_show, (xmin, ymin), c2, color, -1, cv2.LINE_AA)
+            self.cornerRect(
+                frame_show, info.tolist(), colorR=color, colorC=color
+            )
+            cv2.putText(
+                frame_show, label, (xmin + 2, ymin - 7),
+                cv2.FONT_HERSHEY_TRIPLEX, tl / 4, (255, 255, 255), 2,
+            )
+
+
+class YoloDetector(ObjectDetectBase):
+    """YOLO family detector running the fused jitted device step.
+
+    ``model_path``: ``.npz`` weights (params_io) or None for random init;
+    ``scale`` picks the model card (n/s/m/l/x).  An injected ``engine``
+    (EngineBase) replaces the native graph, keeping decode on device —
+    the seam for ONNX-ingested models and tests.
+    """
+
+    _defaults = {
+        "model_path": None,
+        "model_type": ObjectModelType.YOLOV5,
+        "classes_path": None,
+        "box_score": 0.4,
+        "box_nms_iou": 0.45,
+        "scale": "n",
+        "max_det": 100,
+        "input_size": (640, 640),
+    }
+
+    def __init__(self, logger=None, engine=None, **kwargs):
+        super().__init__(logger)
+        self.__dict__.update(kwargs)
+        self._initialize_class(getattr(self, "classes_path", None))
+
+        self.spec = YoloSpec(
+            family=_FAMILY_OF[self.model_type],
+            scale=getattr(self, "scale", "n"),
+            num_classes=len(self.class_names),
+            input_size=tuple(getattr(self, "input_size", (640, 640))),
+        )
+        self.engine = engine
+        if engine is None:
+            self.net = build_yolo(self.spec)
+            self.variables = self._load_weights()
+            self._raw_fn = None
+        else:
+            n, c, h, w = engine.get_engine_input_shape()
+            self.spec = YoloSpec(
+                family=self.spec.family, scale=self.spec.scale,
+                num_classes=self.spec.num_classes, input_size=(h, w),
+            )
+        self._steps = {}
+        if self.logger:
+            self.logger.info(
+                f"YoloDetector [{self.model_type.name}-{self.spec.scale}] "
+                f"input {self.spec.input_size} xla"
+            )
+
+    def _load_weights(self):
+        if self.model_path is None:
+            rng = jax.random.PRNGKey(0)
+            h, w = self.spec.input_size
+            x0 = jnp.zeros((1, h, w, 3), jnp.float32)
+            if self.spec.family == "v10":
+                return self.net.init(rng, x0, method=self.net.both)
+            return self.net.init(rng, x0)
+        if str(self.model_path).endswith(".npz"):
+            from ..tools.params_io import load_params
+
+            return load_params(self.model_path)
+        raise ValueError(
+            f"Unsupported weights: {self.model_path} (expect .npz or None)"
+        )
+
+    def _build_step(self, src_shape):
+        h, w = self.spec.input_size
+        geom = LetterboxGeometry(src_shape[0], src_shape[1], h, w)
+        spec = self.spec
+        box_score = float(self.box_score)
+        iou = float(self.box_nms_iou)
+        max_det = int(getattr(self, "max_det", 100))
+        net = getattr(self, "net", None)
+
+        @jax.jit
+        def step(variables, frame_bgr):
+            x = yolo_preprocess(frame_bgr[None], geom)
+            raw = net.apply(variables, x)[0]
+            boxes, scores, ids = decode_predictions(
+                raw, self.model_type, spec.num_classes, spec.input_size
+            )
+            dets = select_and_nms(
+                boxes, scores, ids, box_score=box_score,
+                iou_threshold=iou, max_det=max_det,
+            )
+            return detections_to_original(dets, geom)
+
+        return step
+
+    def DetectFrame(self, srcimg: np.ndarray) -> None:
+        src_shape = srcimg.shape[:2]
+        if self.engine is not None:
+            self._detect_via_engine(srcimg)
+            return
+        if src_shape not in self._steps:
+            self._steps[src_shape] = self._build_step(src_shape)
+        dets = np.asarray(
+            self._steps[src_shape](self.variables, jnp.asarray(srcimg))
+        )
+        self._object_info = self._dets_to_rectinfo(dets)
+
+    def _detect_via_engine(self, srcimg: np.ndarray) -> None:
+        """Engine-injected path: host letterbox via the same device ops,
+        engine executes the graph, decode stays on device."""
+        h, w = self.spec.input_size
+        geom = LetterboxGeometry(srcimg.shape[0], srcimg.shape[1], h, w)
+        x = yolo_preprocess(jnp.asarray(srcimg)[None], geom)
+        raw = self.engine.engine_inference(
+            np.transpose(np.asarray(x), (0, 3, 1, 2))
+        )[0]
+        raw = jnp.asarray(raw[0] if raw.ndim == 3 else raw)
+        boxes, scores, ids = decode_predictions(
+            raw, self.model_type, self.spec.num_classes, self.spec.input_size
+        )
+        dets = select_and_nms(
+            boxes, scores, ids, box_score=float(self.box_score),
+            iou_threshold=float(self.box_nms_iou),
+            max_det=int(getattr(self, "max_det", 100)),
+        )
+        dets = np.asarray(detections_to_original(dets, geom))
+        self._object_info = self._dets_to_rectinfo(dets)
+
+    def _dets_to_rectinfo(self, dets: np.ndarray) -> List[RectInfo]:
+        results = []
+        for x1, y1, x2, y2, score, cid in dets:
+            if score <= 0:
+                continue
+            cid = int(cid)
+            label = (
+                self.class_names[cid]
+                if 0 <= cid < len(self.class_names)
+                else "unknown"
+            )
+            results.append(
+                RectInfo(
+                    x1, y1, x2 - x1, y2 - y1, conf=float(score), label=label
+                )
+            )
+        return results
