@@ -94,20 +94,25 @@ class PerspectiveTransformation:
         out = warp_perspective(
             jnp.asarray(img), jnp.asarray(self.M, jnp.float32), (h, w)
         )
-        return np.asarray(out)
+        # copy: device fetches are read-only, downstream cv2 draws in place
+        return np.array(out)
 
     def transformToFrontalView(self, img: np.ndarray) -> np.ndarray:
         w, h = self.img_size
         out = warp_perspective(
             jnp.asarray(img), jnp.asarray(self.M_inv, jnp.float32), (h, w)
         )
-        return np.asarray(out)
+        return np.array(out)
 
     def transformToBirdViewPoints(self, points) -> np.ndarray:
         """Project frontal-view lane points into bird view (host, tiny)."""
         if points is None or len(points) == 0:
             return np.zeros((0, 2), dtype=int)
-        return transform_points(np.asarray(points), self.M).astype(int)
+        out = transform_points(np.asarray(points), self.M)
+        # near-horizon points blow up through the homography; keep ints
+        # representable (cv2 drawing rejects values beyond int32)
+        out = np.nan_to_num(out, posinf=2**30, neginf=-(2**30))
+        return np.clip(out, -(2**30), 2**30).astype(np.int64)
 
     def calcCurveAndOffset(
         self, img: np.ndarray, left_lanes, right_lanes, draw: bool = True
@@ -193,8 +198,12 @@ class PerspectiveTransformation:
                 color = (0, 0, 255)
             else:
                 color = LANE_COLORS[lane_num]
+            h, w = image.shape[:2]
             for x, y in lane_points:
-                cv2.circle(image, (int(x), int(y)), 10, color, -1)
+                # points behind the horizon project to huge coordinates;
+                # skip anything far outside the canvas (cv2 rejects them)
+                if -w <= x <= 2 * w and -h <= y <= 2 * h:
+                    cv2.circle(image, (int(x), int(y)), 10, color, -1)
 
     def DrawTransformFrontalViewArea(self, image: np.ndarray) -> None:
         import cv2
