@@ -52,6 +52,7 @@ class ADASPipeline:
         object_config: Optional[dict] = None,
         logger: Optional[Logger] = None,
         enable_tracker: bool = True,
+        use_fused: bool = True,
     ):
         self.logger = logger or Logger(None, logging.INFO, logging.INFO)
         lane_config = {**DEFAULT_LANE_CONFIG, **(lane_config or {})}
@@ -91,34 +92,59 @@ class ADASPipeline:
         self.object_infer_time = 0.0
         self.lane_infer_time = 0.0
 
+        # Fused single-graph path (pipeline/fused.py) when the model pair
+        # supports it: one dispatch + one fetch per frame instead of two.
+        self.fused = None
+        if use_fused and isinstance(self.laneDetector, UltrafastLaneDetectorV2) \
+                and isinstance(self.objectDetector, YoloDetector):
+            from .fused import FusedADASStep
+
+            self.fused = FusedADASStep(self.objectDetector, self.laneDetector)
+
     def process_frame(
         self, frame: np.ndarray, draw: bool = True
     ) -> np.ndarray:
         """Run the full per-frame stack; returns the annotated frame."""
         frame_show = frame.copy()
 
+        if self.fused is not None:
+            t0 = time.time()
+            self.fused.run(frame)
+            self.object_infer_time = round(time.time() - t0, 2)
+            self.lane_infer_time = self.object_infer_time
+            self._update_tracker(frame)
+            return self._analyze_and_render(frame, frame_show, draw)
+
         t0 = time.time()
         self.objectDetector.DetectFrame(frame)
         self.object_infer_time = round(time.time() - t0, 2)
 
-        if self.objectTracker is not None:
-            boxes = [
-                obj.tolist(format_type="xyxy")
-                for obj in self.objectDetector.object_info
-            ]
-            scores = [obj.conf for obj in self.objectDetector.object_info]
-            ids = [obj.label for obj in self.objectDetector.object_info]
-            self.objectTracker.update(
-                np.asarray(boxes, dtype=np.float64).reshape(-1, 4),
-                np.asarray(scores, dtype=np.float64),
-                ids,
-                frame,
-            )
+        self._update_tracker(frame)
 
         t0 = time.time()
         self.laneDetector.DetectFrame(frame)
         self.lane_infer_time = round(time.time() - t0, 4)
+        return self._analyze_and_render(frame, frame_show, draw)
 
+    def _update_tracker(self, frame: np.ndarray) -> None:
+        if self.objectTracker is None:
+            return
+        boxes = [
+            obj.tolist(format_type="xyxy")
+            for obj in self.objectDetector.object_info
+        ]
+        scores = [obj.conf for obj in self.objectDetector.object_info]
+        ids = [obj.label for obj in self.objectDetector.object_info]
+        self.objectTracker.update(
+            np.asarray(boxes, dtype=np.float64).reshape(-1, 4),
+            np.asarray(scores, dtype=np.float64),
+            ids,
+            frame,
+        )
+
+    def _analyze_and_render(
+        self, frame: np.ndarray, frame_show: np.ndarray, draw: bool
+    ) -> np.ndarray:
         # ---- analytics ----
         self.distanceDetector.updateDistance(self.objectDetector.object_info)
         lane_info = self.laneDetector.lane_info

@@ -1,9 +1,10 @@
 """End-to-end ADAS pipeline benchmark (BASELINE.md north star).
 
-Runs the flagship per-frame path on synthetic 720p dash-cam frames:
-YOLOv8 object detection + UFLDv2-CULane lane detection, each a single
-fused jitted device step (preprocess → net → decode [→ NMS]), plus the
-host-side ByteTrack update when available.  Prints ONE JSON line:
+Measures the flagship per-frame path on synthetic 720p dash-cam frames:
+YOLOv8 + UFLDv2-CULane fused into ONE jitted device step
+(adas_tpu/pipeline/fused.py), software-pipelined (frame N+1 dispatches
+while frame N fetches), plus the host-side ByteTrack update per frame.
+Prints ONE JSON line:
 
     {"metric": "e2e_fps", "value": N, "unit": "frames/s", "vs_baseline": N}
 
@@ -24,8 +25,14 @@ BASELINE_FPS = 300.0
 
 
 def main() -> None:
+    from adas_tpu.engine.xla_engine import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from adas_tpu.perception.lane_detector import UltrafastLaneDetectorV2
     from adas_tpu.perception.object_detector import YoloDetector
+    from adas_tpu.pipeline.fused import FusedADASStep
+    from adas_tpu.tracking import BYTETracker
     from adas_tpu.utils.types import LaneModelType, ObjectModelType
 
     rng = np.random.default_rng(0)
@@ -44,37 +51,36 @@ def main() -> None:
     lane = UltrafastLaneDetectorV2(
         model_path=None, model_type=LaneModelType.UFLDV2_CULANE
     )
+    fused = FusedADASStep(yolo, lane)
+    tracker = BYTETracker(names=yolo.colors_dict)
 
-    try:
-        from adas_tpu.tracking import BYTETracker
+    def host_side(frame):
+        boxes, scores, labels = [], [], []
+        for obj in yolo.object_info:
+            boxes.append(obj.tolist(format_type="xyxy"))
+            scores.append(obj.conf)
+            labels.append(obj.label)
+        tracker.update(
+            np.asarray(boxes, dtype=np.float64).reshape(-1, 4),
+            np.asarray(scores, dtype=np.float64),
+            labels,
+            frame,
+        )
 
-        tracker = BYTETracker(names=yolo.colors_dict)
-    except Exception:
-        tracker = None
+    # Warmup: compile the fused step.
+    for f in frames[:2]:
+        fused.run(f)
 
-    def one_frame(frame):
-        yolo.DetectFrame(frame)
-        lane.DetectFrame(frame)
-        if tracker is not None:
-            boxes, scores, labels = [], [], []
-            for obj in yolo.object_info:
-                boxes.append(obj.tolist(format_type="xyxy"))
-                scores.append(obj.conf)
-                labels.append(obj.label)
-            tracker.update(
-                np.asarray(boxes, dtype=np.float32).reshape(-1, 4),
-                np.asarray(scores, dtype=np.float32),
-                labels,
-                frame,
-            )
-
-    # Warmup: trigger compilation of both fused steps.
-    for frame in frames[:3]:
-        one_frame(frame)
-
+    # Pipelined steady state: dispatch i+1 before fetching i.
     t0 = time.perf_counter()
-    for i in range(N_FRAMES):
-        one_frame(frames[i % len(frames)])
+    pending = fused.submit(frames[0])
+    for i in range(1, N_FRAMES):
+        nxt = fused.submit(frames[i % len(frames)])
+        fused.fetch(pending)
+        host_side(frames[(i - 1) % len(frames)])
+        pending = nxt
+    fused.fetch(pending)
+    host_side(frames[(N_FRAMES - 1) % len(frames)])
     dt = time.perf_counter() - t0
 
     fps = N_FRAMES / dt
