@@ -165,6 +165,13 @@ class YoloDetector(ObjectDetectBase):
         self.__dict__.update(kwargs)
         self._initialize_class(getattr(self, "classes_path", None))
 
+        # extension dispatch (reference picks TRT vs ONNX by suffix,
+        # yoloDetector.py:74-77): .adas = serialized AOT engine artifact
+        if engine is None and str(self.model_path).endswith(".adas"):
+            from ..engine.artifact import CompiledEngine
+
+            engine = CompiledEngine(self.model_path)
+
         self.spec = YoloSpec(
             family=_FAMILY_OF[self.model_type],
             scale=getattr(self, "scale", "n"),

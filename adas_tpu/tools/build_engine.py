@@ -1,0 +1,127 @@
+"""Engine-builder CLI: model graph + weights → serialized ``.adas`` artifact.
+
+Mirror of the reference TRT builder CLI
+(``convertOnnxToTensorRT.py -i x.onnx -o x.trt``, :19-23,150-179)
+including its network-description dump and fp16 build flag:
+
+    python -m adas_tpu.tools.build_engine \
+        -t YOLOV8 --scale n --height 640 --width 640 \
+        -w yolov8n.npz -o yolov8n.adas --fp16
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+
+from ..engine.artifact import build_artifact
+from ..utils.types import LaneModelType, ObjectModelType
+
+
+def _build_net(args):
+    name = args.type.upper()
+    if hasattr(ObjectModelType, name) and name != "EfficientDet".upper():
+        from ..models.yolo import YoloSpec, build_yolo
+
+        spec = YoloSpec(
+            family={"YOLOV8": "v8", "YOLOV9": "v8", "YOLOV10": "v10"}.get(
+                name, "v5"
+            ),
+            scale=args.scale,
+            num_classes=args.num_classes,
+            input_size=(args.height, args.width),
+        )
+        net = build_yolo(spec)
+        meta = {"model": name, "scale": args.scale}
+        return net, (1, 3, args.height, args.width), meta
+    if name == "EFFICIENTDET":
+        from ..models.efficientdet import EfficientDet, EfficientDetSpec
+
+        spec = EfficientDetSpec(
+            compound=int(args.scale or 0), num_classes=args.num_classes
+        )
+        net = EfficientDet(spec)
+        s = spec.input_size
+        return net, (1, 3, s, s), {"model": name, "compound": spec.compound}
+    if name.startswith("UFLD"):
+        from ..models.ufld import (
+            UFLDV1_SPECS,
+            UFLDV2_SPECS,
+            UFLDv1Net,
+            UFLDv2Net,
+        )
+
+        lane_type = LaneModelType[name]
+        if "V2" in name:
+            spec = UFLDV2_SPECS[lane_type]
+            net = UFLDv2Net(spec)
+        else:
+            spec = UFLDV1_SPECS[lane_type]
+            net = UFLDv1Net(spec)
+        return (
+            net,
+            (1, 3, spec.input_height, spec.input_width),
+            {"model": name},
+        )
+    raise ValueError(f"unknown model type {args.type}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(
+        description="Build a serialized XLA engine artifact"
+    )
+    ap.add_argument("-t", "--type", required=True,
+                    help="model type enum name, e.g. YOLOV8 / UFLDV2_CULANE")
+    ap.add_argument("--scale", default="n", help="yolo scale or d-compound")
+    ap.add_argument("--height", type=int, default=640)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--num-classes", type=int, default=80)
+    ap.add_argument("-w", "--weights", default=None, help=".npz weights")
+    ap.add_argument("-o", "--output", required=True, help=".adas output")
+    ap.add_argument("--fp16", action="store_true",
+                    help="build with fp16 activations")
+    ap.add_argument("--platforms", nargs="*", default=None,
+                    help="target platforms, e.g. tpu cpu")
+    args = ap.parse_args()
+
+    net, shape_nchw, meta = _build_net(args)
+    if args.weights:
+        from .params_io import load_params
+
+        variables = load_params(args.weights)
+    else:
+        import jax
+
+        n, c, h, w = shape_nchw
+        variables = net.init(
+            jax.random.PRNGKey(0), jnp.zeros((n, h, w, c), jnp.float32)
+        )
+    if args.fp16:
+        from .quantize import cast_params
+
+        variables = cast_params(variables, "fp16")
+
+    dtype = jnp.float16 if args.fp16 else jnp.float32
+    metadata = build_artifact(
+        lambda v, x: net.apply(v, x),
+        variables,
+        shape_nchw,
+        args.output,
+        dtype=dtype,
+        platforms=args.platforms,
+        meta=meta,
+    )
+    # network description dump (parity with EngineBuilder.create_network)
+    print(f"=== engine: {args.output}")
+    print(f"  input  {metadata['input_shape_nchw']} {metadata['input_dtype']}")
+    for name, shape, dt in zip(
+        metadata["output_names"],
+        metadata["output_shapes"],
+        metadata["output_dtypes"],
+    ):
+        print(f"  output {name}: {shape} {dt}")
+    print(f"  platforms: {metadata['platforms']}")
+
+
+if __name__ == "__main__":
+    main()

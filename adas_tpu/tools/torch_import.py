@@ -158,3 +158,38 @@ def ufld_variables(
         else:
             raise KeyError(f"unmapped UFLD tensor: {name}")
     return variables
+
+
+def main() -> None:
+    """CLI mirror of the reference's pth→onnx exporter
+    (convertPytorchToONNX.py:50-99): pth → flax .npz weight store."""
+    import argparse
+
+    from .params_io import save_params
+
+    ap = argparse.ArgumentParser(description="torch .pth -> flax .npz")
+    ap.add_argument("-i", "--input", required=True, help=".pth checkpoint")
+    ap.add_argument("-o", "--output", required=True, help=".npz output")
+    ap.add_argument(
+        "--arch", default="ufldv2",
+        choices=["ufldv1", "ufldv2", "resnet"],
+    )
+    ap.add_argument("--no-fc-norm", action="store_true",
+                    help="UFLDv2 variant without the LayerNorm slot")
+    args = ap.parse_args()
+
+    state = load_state_dict(args.input)
+    if args.arch == "resnet":
+        variables = resnet_variables(state)
+    else:
+        variables = ufld_variables(
+            state,
+            version=2 if args.arch == "ufldv2" else 1,
+            fc_norm=not args.no_fc_norm,
+        )
+    save_params(args.output, variables)
+    print(f"saved {args.output}")
+
+
+if __name__ == "__main__":
+    main()
