@@ -22,6 +22,7 @@ from ..models.ufld import (
     UFLDv1Net,
     UFLDv2Net,
 )
+from ..ops.packing import pack, unpack
 from ..ops.preprocess import ufld_v1_preprocess, ufld_v2_preprocess
 from ..ops.ufld_decode import ufld_v1_decode, ufld_v2_decode
 from ..utils.types import LANE_COLORS, LaneInfo, LaneModelType, OffsetType
@@ -145,6 +146,7 @@ class UltrafastLaneDetectorV2(LaneDetectBase):
         """uint8 BGR (H, W, 3) -> decoded lane tensors, one jitted graph.
         Jit cache keyed on the source frame shape."""
         spec, net = self.spec, self.net
+        spec_holder = {}
 
         @jax.jit
         def step(variables, frame_bgr):
@@ -154,14 +156,19 @@ class UltrafastLaneDetectorV2(LaneDetectBase):
             )
             outputs = net.apply(variables, x)
             outputs = {k: v.astype(jnp.float32) for k, v in outputs.items()}
-            return ufld_v2_decode(outputs)
+            decoded = ufld_v2_decode(outputs)
+            # pack the 4 decode tensors: ONE device->host transfer per frame
+            flat, pack_spec = pack(decoded)
+            spec_holder["spec"] = pack_spec
+            return flat
 
-        return step
+        return step, spec_holder
 
     def DetectFrame(self, image: np.ndarray, adjust_lanes: bool = False) -> None:
         h, w = image.shape[:2]
-        decoded = self._step(self.variables, jnp.asarray(image))
-        decoded = jax.device_get(decoded)
+        step, spec_holder = self._step
+        flat = np.asarray(step(self.variables, jnp.asarray(image)))
+        decoded = unpack(flat, spec_holder["spec"])
         self.adjust_lanes = adjust_lanes
         self._assemble(decoded, w, h)
         self._finalize(h)

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.packing import pack, unpack
 from ..ops.preprocess import LetterboxGeometry, ufld_v2_preprocess, yolo_preprocess
 from ..ops.ufld_decode import ufld_v2_decode
 from ..ops.yolo_decode import (
@@ -52,6 +53,8 @@ class FusedADASStep:
         model_type = yolo.model_type
         ynet, lnet = yolo.net, lane.net
 
+        spec_holder = {}
+
         @jax.jit
         def step(yolo_vars, lane_vars, frame_bgr):
             x = yolo_preprocess(frame_bgr[None], geom)
@@ -72,27 +75,30 @@ class FusedADASStep:
             louts = lnet.apply(lane_vars, lx)
             louts = {k: v.astype(jnp.float32) for k, v in louts.items()}
             lanes = ufld_v2_decode(louts)
-            return dets, lanes
+            # one packed vector -> one device→host transfer at fetch time
+            flat, spec = pack((dets, lanes))
+            spec_holder["spec"] = spec
+            return flat
 
-        return step
+        return step, spec_holder
 
     def submit(self, frame: np.ndarray):
         """Dispatch the fused step; returns (handle, frame_shape)."""
         src_shape = frame.shape[:2]
         if src_shape not in self._steps:
             self._steps[src_shape] = self._build(src_shape)
-        out = self._steps[src_shape](
+        step, spec_holder = self._steps[src_shape]
+        out = step(
             self.yolo.variables, self.lane.variables, jnp.asarray(frame)
         )
-        return out, src_shape
+        return out, spec_holder, src_shape
 
     def fetch(self, handle) -> None:
         """Block on the device result and populate both detectors."""
-        (dets, lanes), src_shape = handle
+        flat, spec_holder, src_shape = handle
         h, w = src_shape
-        dets = np.asarray(dets)
+        dets, decoded = unpack(np.asarray(flat), spec_holder["spec"])
         self.yolo._object_info = self.yolo._dets_to_rectinfo(dets)
-        decoded = jax.device_get(lanes)
         self.lane._assemble(decoded, w, h)
         self.lane._finalize(h)
 

@@ -1,0 +1,191 @@
+"""Multi-stream ADAS: N video feeds through ONE batched, mesh-sharded
+device step (BASELINE.md config 5, SURVEY.md §2.3).
+
+The per-frame fused computation (YOLO + UFLDv2, pipeline/fused.py) is
+vmapped over a stream batch and jitted with the batch dim sharded over the
+``data`` mesh axis — pure DP, exact, no collectives at inference.  All
+cross-frame state (trackers, distance, task conditions, BEV calibration)
+is host-side *per stream*, mirroring the single-stream pipeline.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..analytics import (
+    PerspectiveTransformation,
+    SingleCamDistanceMeasure,
+    TaskConditions,
+)
+from ..ops.preprocess import LetterboxGeometry, ufld_v2_preprocess, yolo_preprocess
+from ..ops.ufld_decode import ufld_v2_decode
+from ..ops.yolo_decode import (
+    decode_predictions,
+    detections_to_original,
+    select_and_nms,
+)
+from ..tracking import BYTETracker
+from ..utils.types import RectInfo
+
+
+class StreamState:
+    """Host-side temporal state for one video feed."""
+
+    def __init__(self, frame_size, colors_dict):
+        self.tracker = BYTETracker(names=dict(colors_dict))
+        self.distance = SingleCamDistanceMeasure()
+        self.conditions = TaskConditions()
+        self.perspective = PerspectiveTransformation(frame_size)
+
+
+class MultiStreamADAS:
+    """Batch-of-streams pipeline over a (data, model) mesh."""
+
+    def __init__(
+        self,
+        yolo,
+        lane,
+        n_streams: int,
+        frame_hw: Sequence[int],
+        mesh: Optional[Mesh] = None,
+    ):
+        self.yolo = yolo
+        self.lane = lane
+        self.n_streams = n_streams
+        self.frame_hw = tuple(frame_hw)
+        self.mesh = mesh
+        h, w = self.frame_hw
+        self.streams = [
+            StreamState((w, h), yolo.colors_dict) for _ in range(n_streams)
+        ]
+        self._step = self._build()
+
+    def _build(self):
+        yolo, lane = self.yolo, self.lane
+        src_h, src_w = self.frame_hw
+        h, w = yolo.spec.input_size
+        geom = LetterboxGeometry(src_h, src_w, h, w)
+        yspec, lspec = yolo.spec, lane.spec
+        box_score = float(yolo.box_score)
+        iou = float(getattr(yolo, "box_nms_iou", 0.45))
+        max_det = int(getattr(yolo, "max_det", 100))
+        model_type = yolo.model_type
+        ynet, lnet = yolo.net, lane.net
+
+        def one(yolo_vars, lane_vars, frame_bgr):
+            x = yolo_preprocess(frame_bgr[None], geom)
+            raw = ynet.apply(yolo_vars, x)[0]
+            boxes, scores, ids = decode_predictions(
+                raw, model_type, yspec.num_classes, yspec.input_size
+            )
+            dets = select_and_nms(
+                boxes, scores, ids, box_score=box_score,
+                iou_threshold=iou, max_det=max_det,
+            )
+            dets = detections_to_original(dets, geom)
+            lx = ufld_v2_preprocess(
+                frame_bgr[None], lspec.input_height, lspec.input_width,
+                lspec.crop_ratio, dtype=lnet.dtype,
+            )
+            louts = lnet.apply(lane_vars, lx)
+            louts = {k: v.astype(jnp.float32)[0] for k, v in louts.items()}
+            lanes = ufld_v2_decode(
+                {k: v[None] for k, v in louts.items()}
+            )
+            return dets, lanes
+
+        batched = jax.vmap(one, in_axes=(None, None, 0))
+
+        if self.mesh is not None:
+            in_batch = NamedSharding(self.mesh, P("data", None, None, None))
+            repl = NamedSharding(self.mesh, P())
+            params_shard = jax.tree_util.tree_map(
+                lambda _: repl, (self.yolo.variables, self.lane.variables)
+            )
+            jitted = jax.jit(
+                batched,
+                in_shardings=(params_shard[0], params_shard[1], in_batch),
+                out_shardings=NamedSharding(self.mesh, P("data")),
+            )
+        else:
+            jitted = jax.jit(batched)
+        return jitted
+
+    # ---- host orchestration ----
+
+    def submit(self, frames: np.ndarray):
+        """frames: (n_streams, H, W, 3) uint8 BGR."""
+        assert frames.shape[0] == self.n_streams
+        x = jnp.asarray(frames)
+        if self.mesh is not None:
+            x = jax.device_put(
+                x, NamedSharding(self.mesh, P("data", None, None, None))
+            )
+        return self._step(self.yolo.variables, self.lane.variables, x)
+
+    def fetch(self, handle, frames: np.ndarray) -> List[dict]:
+        """Block and run per-stream host analytics; returns signal dicts."""
+        dets_b, lanes_b = jax.device_get(handle)
+        results = []
+        for i, stream in enumerate(self.streams):
+            dets = np.asarray(dets_b[i])
+            objs = self.yolo._dets_to_rectinfo(dets)
+            self.lane._assemble(
+                {k: v[i] for k, v in lanes_b.items()},
+                self.frame_hw[1], self.frame_hw[0],
+            )
+            self.lane._finalize(self.frame_hw[0])
+            lane_info = self.lane.lane_info
+
+            boxes = [o.tolist(format_type="xyxy") for o in objs]
+            scores = [o.conf for o in objs]
+            labels = [o.label for o in objs]
+            stream.tracker.update(
+                np.asarray(boxes, dtype=np.float64).reshape(-1, 4),
+                np.asarray(scores, dtype=np.float64),
+                labels,
+                frames[i],
+            )
+            stream.distance.updateDistance(objs)
+            collision_pt = stream.distance.calcCollisionPoint(
+                lane_info.area_points
+            )
+            if stream.conditions.CheckStatus() and lane_info.area_status:
+                stream.perspective.updateTransformParams(
+                    *lane_info.lanes_points[1:3],
+                    stream.conditions.transform_status,
+                )
+            bird_lanes = [
+                stream.perspective.transformToBirdViewPoints(p)
+                for p in lane_info.lanes_points
+            ]
+            blank = np.zeros(
+                (self.frame_hw[0], self.frame_hw[1], 3), np.uint8
+            )
+            (direction, curvature), offset = (
+                stream.perspective.calcCurveAndOffset(
+                    blank, *bird_lanes[1:3], draw=False
+                )
+            )
+            stream.conditions.UpdateCollisionStatus(
+                collision_pt, lane_info.area_status
+            )
+            stream.conditions.UpdateOffsetStatus(offset)
+            stream.conditions.UpdateRouteStatus(direction, curvature)
+            results.append(
+                {
+                    "objects": objs,
+                    "tracks": len(stream.tracker.tracked_stracks),
+                    "collision": stream.conditions.collision_msg,
+                    "offset": stream.conditions.offset_msg,
+                    "curvature": stream.conditions.curvature_msg,
+                }
+            )
+        return results
+
+    def process_batch(self, frames: np.ndarray) -> List[dict]:
+        return self.fetch(self.submit(frames), frames)
