@@ -1,0 +1,58 @@
+"""Multi-stream DP pipeline test on the virtual 8-device CPU mesh."""
+import numpy as np
+
+from adas_tpu.parallel import make_mesh
+from adas_tpu.perception.lane_detector import UltrafastLaneDetectorV2
+from adas_tpu.perception.object_detector import YoloDetector
+from adas_tpu.pipeline.multistream import MultiStreamADAS
+from adas_tpu.utils.types import LaneModelType, ObjectModelType
+
+
+def test_multistream_batch_over_mesh():
+    yolo = YoloDetector(
+        model_path=None, model_type=ObjectModelType.YOLOV8, scale="n",
+        input_size=(160, 160), box_score=0.25,
+    )
+    lane = UltrafastLaneDetectorV2(
+        model_path=None, model_type=LaneModelType.UFLDV2_TUSIMPLE
+    )
+    mesh = make_mesh(8, model_parallel=1)
+    n = 8
+    ms = MultiStreamADAS(yolo, lane, n, frame_hw=(180, 320), mesh=mesh)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (n, 180, 320, 3), dtype=np.uint8)
+
+    results = ms.process_batch(frames)
+    assert len(results) == n
+    for r in results:
+        assert {"objects", "tracks", "collision", "offset", "curvature"} <= set(r)
+    # per-stream temporal state is independent: run a second batch and
+    # check trackers advanced independently
+    results2 = ms.process_batch(frames)
+    assert len(results2) == n
+    assert all(s.tracker.frame_id == 2 for s in ms.streams)
+
+
+def test_multistream_matches_per_stream_detections():
+    """Stream i's detections equal running the single-frame path on its
+    frame (DP is exact)."""
+    yolo = YoloDetector(
+        model_path=None, model_type=ObjectModelType.YOLOV8, scale="n",
+        input_size=(160, 160), box_score=0.25,
+    )
+    lane = UltrafastLaneDetectorV2(
+        model_path=None, model_type=LaneModelType.UFLDV2_TUSIMPLE
+    )
+    n = 2
+    ms = MultiStreamADAS(yolo, lane, n, frame_hw=(180, 320), mesh=None)
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (n, 180, 320, 3), dtype=np.uint8)
+    results = ms.process_batch(frames)
+
+    for i in range(n):
+        yolo.DetectFrame(frames[i])
+        expected = [
+            (o.label, round(o.conf, 4)) for o in yolo.object_info
+        ]
+        got = [(o.label, round(o.conf, 4)) for o in results[i]["objects"]]
+        assert got == expected
