@@ -26,7 +26,10 @@ class ConvBN(nn.Module):
     act: Optional[Callable] = nn.silu
     use_bn: bool = True
     use_bias: bool = False
-    dtype: object = jnp.float32
+    #: None = infer from inputs+params (flax promotion): storing bf16
+    #: params and feeding bf16 activations runs the whole conv stack on
+    #: the MXU in bf16 with no per-module dtype plumbing.
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):

@@ -217,3 +217,37 @@ def ufld_v1_preprocess(
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
     std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
     return ((rgb - mean) / std).astype(dtype)
+
+
+def i420_to_bgr(yuv: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Device-side I420 (YUV 4:2:0 planar, cv2 layout) → BGR float32.
+
+    Transport optimization for tunneled/remote TPUs: an I420 buffer is
+    1.5 bytes/px vs 3 for BGR, halving host→device upload bytes.  Inverse
+    of ``cv2.COLOR_BGR2YUV_I420`` (studio-swing BT.601; matches cv2's own
+    decode to ±1).  ``yuv`` is the (H*3/2, W) uint8 plane stack.
+    """
+    h, w = height, width
+    y = yuv[:h].astype(jnp.float32)
+    u = yuv[h : h + h // 4].reshape(h // 2, w // 2).astype(jnp.float32)
+    v = yuv[h + h // 4 :].reshape(h // 2, w // 2).astype(jnp.float32)
+
+    def up2(p):
+        return jnp.repeat(jnp.repeat(p, 2, axis=0), 2, axis=1)
+
+    uu = up2(u) - 128.0
+    vv = up2(v) - 128.0
+    yy = 1.164 * (y - 16.0)
+    r = yy + 1.596 * vv
+    g = yy - 0.391 * uu - 0.813 * vv
+    b = yy + 2.018 * uu
+    return jnp.clip(
+        jnp.round(jnp.stack([b, g, r], axis=-1)), 0.0, 255.0
+    )
+
+
+def bgr_to_i420(frame: "np.ndarray") -> "np.ndarray":
+    """Host-side encode (cv2); counterpart of :func:`i420_to_bgr`."""
+    import cv2
+
+    return cv2.cvtColor(frame, cv2.COLOR_BGR2YUV_I420)

@@ -302,20 +302,21 @@ class UltrafastLaneDetector(LaneDetectBase):
 
 
 def _load_weights(model_path, net, input_shape, version=2, fc_norm=True):
-    """Resolve weights from .npz / .pth / None(random)."""
+    """Resolve weights from .npz / .pth / None(random); always returns
+    device-resident arrays (host leaves would re-upload per call)."""
     if model_path is None:
         rng = jax.random.PRNGKey(0)
         return net.init(rng, jnp.zeros(input_shape, jnp.float32))
     if str(model_path).endswith(".npz"):
         from ..tools.params_io import load_params
 
-        return load_params(model_path)
+        return jax.device_put(load_params(model_path))
     if str(model_path).endswith((".pth", ".pt")):
         from ..tools.torch_import import load_state_dict, ufld_variables
 
-        return ufld_variables(
+        return jax.device_put(ufld_variables(
             load_state_dict(model_path), version=version, fc_norm=fc_norm
-        )
+        ))
     raise ValueError(
         f"Unsupported weight format: {model_path} (expect .npz/.pth or None)"
     )

@@ -158,6 +158,7 @@ class YoloDetector(ObjectDetectBase):
         "scale": "n",
         "max_det": 100,
         "input_size": (640, 640),
+        "compute_dtype": None,  # None=f32; "bf16" runs the graph on the MXU in bf16
     }
 
     def __init__(self, logger=None, engine=None, **kwargs):
@@ -197,6 +198,17 @@ class YoloDetector(ObjectDetectBase):
             )
 
     def _load_weights(self):
+        variables = self._load_weights_f32()
+        cd = getattr(self, "compute_dtype", None)
+        if cd:
+            from ..tools.quantize import cast_params
+
+            variables = cast_params(variables, cd)
+        # pin to device once: host (numpy) leaves would re-upload the
+        # whole weight tree on EVERY step call
+        return jax.device_put(variables)
+
+    def _load_weights_f32(self):
         if self.model_path is None:
             rng = jax.random.PRNGKey(0)
             h, w = self.spec.input_size
@@ -221,10 +233,16 @@ class YoloDetector(ObjectDetectBase):
         max_det = int(getattr(self, "max_det", 100))
         net = getattr(self, "net", None)
 
+        in_dtype = (
+            jnp.bfloat16
+            if getattr(self, "compute_dtype", None) == "bf16"
+            else jnp.float32
+        )
+
         @jax.jit
         def step(variables, frame_bgr):
-            x = yolo_preprocess(frame_bgr[None], geom)
-            raw = net.apply(variables, x)[0]
+            x = yolo_preprocess(frame_bgr[None], geom, dtype=in_dtype)
+            raw = net.apply(variables, x)[0].astype(jnp.float32)
             boxes, scores, ids = decode_predictions(
                 raw, self.model_type, spec.num_classes, spec.input_size
             )

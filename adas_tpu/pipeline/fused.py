@@ -18,7 +18,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.packing import pack, unpack
-from ..ops.preprocess import LetterboxGeometry, ufld_v2_preprocess, yolo_preprocess
+from ..ops.preprocess import (
+    LetterboxGeometry,
+    bgr_to_i420,
+    i420_to_bgr,
+    ufld_v2_preprocess,
+    yolo_preprocess,
+)
 from ..ops.ufld_decode import ufld_v2_decode
 from ..ops.yolo_decode import (
     decode_predictions,
@@ -36,9 +42,20 @@ class FusedADASStep:
     would.
     """
 
-    def __init__(self, yolo, lane):
+    def __init__(self, yolo, lane, host_downscale=None, transport="bgr"):
         self.yolo = yolo
         self.lane = lane
+        #: "bgr" uploads raw uint8 frames; "i420" uploads 4:2:0 chroma-
+        #: subsampled planes (half the bytes; ±1 LSB color error) and
+        #: reconstructs BGR on device — worth it when host→device
+        #: bandwidth, not compute, bounds throughput.
+        self.transport = transport
+        #: optional (h, w) host pre-resize before upload.  On a tunneled
+        #: TPU the 720p uint8 upload (~2.7 MB) costs ~130 ms while the
+        #: fused compute is ~30 ms; resizing on host to the letterbox
+        #: content size cuts upload bytes 4x with no geometry change
+        #: (lane decode is resolution-normalized; boxes rescale on fetch).
+        self.host_downscale = tuple(host_downscale) if host_downscale else None
         self._steps = {}
 
     def _build(self, src_shape: Tuple[int, int]):
@@ -54,11 +71,23 @@ class FusedADASStep:
         ynet, lnet = yolo.net, lane.net
 
         spec_holder = {}
+        transport = self.transport
+        src_h, src_w = src_shape
+
+        in_dtype = (
+            jnp.bfloat16
+            if getattr(yolo, "compute_dtype", None) == "bf16"
+            else jnp.float32
+        )
 
         @jax.jit
-        def step(yolo_vars, lane_vars, frame_bgr):
-            x = yolo_preprocess(frame_bgr[None], geom)
-            raw = ynet.apply(yolo_vars, x)[0]
+        def step(yolo_vars, lane_vars, frame_in):
+            if transport == "i420":
+                frame_bgr = i420_to_bgr(frame_in, src_h, src_w)
+            else:
+                frame_bgr = frame_in
+            x = yolo_preprocess(frame_bgr[None], geom, dtype=in_dtype)
+            raw = ynet.apply(yolo_vars, x)[0].astype(jnp.float32)
             boxes, scores, ids = decode_predictions(
                 raw, model_type, yspec.num_classes, yspec.input_size
             )
@@ -83,21 +112,39 @@ class FusedADASStep:
         return step, spec_holder
 
     def submit(self, frame: np.ndarray):
-        """Dispatch the fused step; returns (handle, frame_shape)."""
+        """Dispatch the fused step; returns an opaque handle."""
+        orig_shape = frame.shape[:2]
+        if self.host_downscale and (
+            orig_shape[0] > self.host_downscale[0]
+            or orig_shape[1] > self.host_downscale[1]
+        ):
+            import cv2
+
+            dh, dw = self.host_downscale
+            frame = cv2.resize(frame, (dw, dh), interpolation=cv2.INTER_LINEAR)
         src_shape = frame.shape[:2]
         if src_shape not in self._steps:
             self._steps[src_shape] = self._build(src_shape)
         step, spec_holder = self._steps[src_shape]
+        payload = bgr_to_i420(frame) if self.transport == "i420" else frame
         out = step(
-            self.yolo.variables, self.lane.variables, jnp.asarray(frame)
+            self.yolo.variables, self.lane.variables, jnp.asarray(payload)
         )
-        return out, spec_holder, src_shape
+        return out, spec_holder, src_shape, orig_shape
 
     def fetch(self, handle) -> None:
         """Block on the device result and populate both detectors."""
-        flat, spec_holder, src_shape = handle
-        h, w = src_shape
+        flat, spec_holder, src_shape, orig_shape = handle
+        h, w = orig_shape
         dets, decoded = unpack(np.asarray(flat), spec_holder["spec"])
+        if src_shape != orig_shape:
+            # detections are in downscaled-frame pixels; lanes are
+            # normalized and rescale for free in _assemble
+            sy = orig_shape[0] / src_shape[0]
+            sx = orig_shape[1] / src_shape[1]
+            dets = dets.copy()
+            dets[:, [0, 2]] *= sx
+            dets[:, [1, 3]] *= sy
         self.yolo._object_info = self.yolo._dets_to_rectinfo(dets)
         self.lane._assemble(decoded, w, h)
         self.lane._finalize(h)

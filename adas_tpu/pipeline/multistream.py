@@ -21,7 +21,14 @@ from ..analytics import (
     SingleCamDistanceMeasure,
     TaskConditions,
 )
-from ..ops.preprocess import LetterboxGeometry, ufld_v2_preprocess, yolo_preprocess
+from ..ops.packing import pack, unpack
+from ..ops.preprocess import (
+    LetterboxGeometry,
+    bgr_to_i420,
+    i420_to_bgr,
+    ufld_v2_preprocess,
+    yolo_preprocess,
+)
 from ..ops.ufld_decode import ufld_v2_decode
 from ..ops.yolo_decode import (
     decode_predictions,
@@ -52,12 +59,19 @@ class MultiStreamADAS:
         n_streams: int,
         frame_hw: Sequence[int],
         mesh: Optional[Mesh] = None,
+        host_downscale: Optional[Sequence[int]] = None,
+        transport: str = "bgr",
     ):
         self.yolo = yolo
         self.lane = lane
         self.n_streams = n_streams
         self.frame_hw = tuple(frame_hw)
         self.mesh = mesh
+        #: see pipeline/fused.py: shrink upload bytes on tunneled TPUs
+        self.host_downscale = tuple(host_downscale) if host_downscale else None
+        self.transport = transport
+        self.dev_hw = self.host_downscale or self.frame_hw
+        self._spec_holder = {}
         h, w = self.frame_hw
         self.streams = [
             StreamState((w, h), yolo.colors_dict) for _ in range(n_streams)
@@ -66,7 +80,7 @@ class MultiStreamADAS:
 
     def _build(self):
         yolo, lane = self.yolo, self.lane
-        src_h, src_w = self.frame_hw
+        src_h, src_w = self.dev_hw
         h, w = yolo.spec.input_size
         geom = LetterboxGeometry(src_h, src_w, h, w)
         yspec, lspec = yolo.spec, lane.spec
@@ -75,10 +89,21 @@ class MultiStreamADAS:
         max_det = int(getattr(yolo, "max_det", 100))
         model_type = yolo.model_type
         ynet, lnet = yolo.net, lane.net
+        transport = self.transport
+        spec_holder = self._spec_holder
+        in_dtype = (
+            jnp.bfloat16
+            if getattr(yolo, "compute_dtype", None) == "bf16"
+            else jnp.float32
+        )
 
-        def one(yolo_vars, lane_vars, frame_bgr):
-            x = yolo_preprocess(frame_bgr[None], geom)
-            raw = ynet.apply(yolo_vars, x)[0]
+        def one(yolo_vars, lane_vars, frame_in):
+            if transport == "i420":
+                frame_bgr = i420_to_bgr(frame_in, src_h, src_w)
+            else:
+                frame_bgr = frame_in
+            x = yolo_preprocess(frame_bgr[None], geom, dtype=in_dtype)
+            raw = ynet.apply(yolo_vars, x)[0].astype(jnp.float32)
             boxes, scores, ids = decode_predictions(
                 raw, model_type, yspec.num_classes, yspec.input_size
             )
@@ -96,12 +121,17 @@ class MultiStreamADAS:
             lanes = ufld_v2_decode(
                 {k: v[None] for k, v in louts.items()}
             )
-            return dets, lanes
+            flat, pack_spec = pack((dets, lanes))
+            spec_holder["spec"] = pack_spec
+            return flat
 
         batched = jax.vmap(one, in_axes=(None, None, 0))
 
         if self.mesh is not None:
-            in_batch = NamedSharding(self.mesh, P("data", None, None, None))
+            in_ndim = 3 if self.transport == "i420" else 4
+            in_batch = NamedSharding(
+                self.mesh, P("data", *([None] * (in_ndim - 1)))
+            )
             repl = NamedSharding(self.mesh, P())
             params_shard = jax.tree_util.tree_map(
                 lambda _: repl, (self.yolo.variables, self.lane.variables)
@@ -120,23 +150,41 @@ class MultiStreamADAS:
     def submit(self, frames: np.ndarray):
         """frames: (n_streams, H, W, 3) uint8 BGR."""
         assert frames.shape[0] == self.n_streams
+        if self.host_downscale and self.host_downscale != self.frame_hw:
+            import cv2
+
+            dh, dw = self.host_downscale
+            frames = np.stack([
+                cv2.resize(f, (dw, dh), interpolation=cv2.INTER_LINEAR)
+                for f in frames
+            ])
+        if self.transport == "i420":
+            frames = np.stack([bgr_to_i420(f) for f in frames])
         x = jnp.asarray(frames)
         if self.mesh is not None:
             x = jax.device_put(
-                x, NamedSharding(self.mesh, P("data", None, None, None))
+                x, NamedSharding(self.mesh, P("data", *([None] * (x.ndim - 1))))
             )
         return self._step(self.yolo.variables, self.lane.variables, x)
 
     def fetch(self, handle, frames: np.ndarray) -> List[dict]:
         """Block and run per-stream host analytics; returns signal dicts."""
-        dets_b, lanes_b = jax.device_get(handle)
+        flat = np.asarray(handle)  # ONE transfer for the whole batch
+        per_stream = [
+            unpack(flat[i], self._spec_holder["spec"])
+            for i in range(self.n_streams)
+        ]
         results = []
+        sy = self.frame_hw[0] / self.dev_hw[0]
+        sx = self.frame_hw[1] / self.dev_hw[1]
         for i, stream in enumerate(self.streams):
-            dets = np.asarray(dets_b[i])
+            dets, lanes_i = per_stream[i]
+            dets = np.asarray(dets).copy()
+            dets[:, [0, 2]] *= sx
+            dets[:, [1, 3]] *= sy
             objs = self.yolo._dets_to_rectinfo(dets)
             self.lane._assemble(
-                {k: v[i] for k, v in lanes_b.items()},
-                self.frame_hw[1], self.frame_hw[0],
+                lanes_i, self.frame_hw[1], self.frame_hw[0],
             )
             self.lane._finalize(self.frame_hw[0])
             lane_info = self.lane.lane_info

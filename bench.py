@@ -1,26 +1,32 @@
-"""End-to-end ADAS pipeline benchmark (BASELINE.md north star).
+"""End-to-end ADAS benchmark (BASELINE.md configs 4+5).
 
-Measures the flagship per-frame path on synthetic 720p dash-cam frames:
-YOLOv8 + UFLDv2-CULane fused into ONE jitted device step
-(adas_tpu/pipeline/fused.py), software-pipelined (frame N+1 dispatches
-while frame N fetches), plus the host-side ByteTrack update per frame.
-Prints ONE JSON line:
+Runs the flagship multi-stream pipeline: N simulated 720p dash-cam feeds
+through ONE batched fused device step per tick (YOLOv8 + UFLDv2-CULane,
+bf16, I420 transport, decode+NMS on device) with the full host analytics
+stack per stream (ByteTrack, FCWS distance, BEV curvature/offset,
+LDWS/LKAS/FCWS state machines).  Ticks are software-pipelined so upload,
+compute and host work overlap.  Prints ONE JSON line:
 
     {"metric": "e2e_fps", "value": N, "unit": "frames/s", "vs_baseline": N}
 
-vs_baseline is measured FPS / 300 (the ≥300 FPS north-star target from
-BASELINE.json; the reference publishes no numbers of its own).
+value = aggregate frames/s across streams; vs_baseline = value / 300
+(the ≥300 FPS north-star from BASELINE.json — the reference publishes no
+numbers of its own).  ADAS_BENCH_STREAMS=1 reproduces the single-stream
+reference-style loop.
 """
 from __future__ import annotations
 
 import json
 import os
 import time
+from collections import deque
 
 import numpy as np
 
 SCALE = os.environ.get("ADAS_BENCH_SCALE", "l")
-N_FRAMES = int(os.environ.get("ADAS_BENCH_FRAMES", "100"))
+N_STREAMS = int(os.environ.get("ADAS_BENCH_STREAMS", "8"))
+N_TICKS = int(os.environ.get("ADAS_BENCH_TICKS", "30"))
+DEPTH = int(os.environ.get("ADAS_BENCH_DEPTH", "2"))
 BASELINE_FPS = 300.0
 
 
@@ -29,16 +35,17 @@ def main() -> None:
 
     enable_persistent_cache()
 
+    import jax.numpy as jnp
+
     from adas_tpu.perception.lane_detector import UltrafastLaneDetectorV2
     from adas_tpu.perception.object_detector import YoloDetector
-    from adas_tpu.pipeline.fused import FusedADASStep
-    from adas_tpu.tracking import BYTETracker
+    from adas_tpu.pipeline.multistream import MultiStreamADAS
     from adas_tpu.utils.types import LaneModelType, ObjectModelType
 
     rng = np.random.default_rng(0)
-    frames = [
-        rng.integers(0, 255, (720, 1280, 3), dtype=np.uint8)
-        for _ in range(8)
+    batches = [
+        rng.integers(0, 255, (N_STREAMS, 720, 1280, 3), dtype=np.uint8)
+        for _ in range(4)
     ]
 
     yolo = YoloDetector(
@@ -47,43 +54,35 @@ def main() -> None:
         scale=SCALE,
         box_score=0.25,
         input_size=(640, 640),
+        compute_dtype="bf16",
     )
     lane = UltrafastLaneDetectorV2(
-        model_path=None, model_type=LaneModelType.UFLDV2_CULANE
+        model_path=None, model_type=LaneModelType.UFLDV2_CULANE,
+        dtype=jnp.bfloat16,
     )
-    fused = FusedADASStep(yolo, lane)
-    tracker = BYTETracker(names=yolo.colors_dict)
+    ms = MultiStreamADAS(
+        yolo, lane, N_STREAMS, frame_hw=(720, 1280),
+        host_downscale=(360, 640), transport="i420",
+    )
 
-    def host_side(frame):
-        boxes, scores, labels = [], [], []
-        for obj in yolo.object_info:
-            boxes.append(obj.tolist(format_type="xyxy"))
-            scores.append(obj.conf)
-            labels.append(obj.label)
-        tracker.update(
-            np.asarray(boxes, dtype=np.float64).reshape(-1, 4),
-            np.asarray(scores, dtype=np.float64),
-            labels,
-            frame,
-        )
+    # Warmup / compile.
+    ms.process_batch(batches[0])
+    ms.process_batch(batches[1])
 
-    # Warmup: compile the fused step.
-    for f in frames[:2]:
-        fused.run(f)
-
-    # Pipelined steady state: dispatch i+1 before fetching i.
     t0 = time.perf_counter()
-    pending = fused.submit(frames[0])
-    for i in range(1, N_FRAMES):
-        nxt = fused.submit(frames[i % len(frames)])
-        fused.fetch(pending)
-        host_side(frames[(i - 1) % len(frames)])
-        pending = nxt
-    fused.fetch(pending)
-    host_side(frames[(N_FRAMES - 1) % len(frames)])
+    inflight = deque()
+    for i in range(N_TICKS):
+        frames = batches[i % len(batches)]
+        inflight.append((frames, ms.submit(frames)))
+        if len(inflight) >= DEPTH:
+            f, h = inflight.popleft()
+            ms.fetch(h, f)
+    while inflight:
+        f, h = inflight.popleft()
+        ms.fetch(h, f)
     dt = time.perf_counter() - t0
 
-    fps = N_FRAMES / dt
+    fps = N_TICKS * N_STREAMS / dt
     print(
         json.dumps(
             {
