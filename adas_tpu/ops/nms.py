@@ -80,11 +80,22 @@ def soft_nms_padded(
 
 def _select_loop(
     boxes, scores, iou_threshold, max_out, method, sigma,
-    score_threshold, plus_one,
+    score_threshold, plus_one, use_iou_matrix=None,
 ):
     n = boxes.shape[0]
     boxes = boxes.astype(jnp.float32)
     live_scores = scores.astype(jnp.float32)
+
+    # Precompute the O(N^2) IoU once (tiled Pallas kernel on TPU) so the
+    # sequential scan below is pure row lookups.  Worth it whenever more
+    # than ~max_out/2 rows get read, i.e. essentially always.
+    if use_iou_matrix is None:
+        use_iou_matrix = n >= 256
+    iou_mat = None
+    if use_iou_matrix:
+        from .pallas_iou import iou_matrix_auto
+
+        iou_mat = iou_matrix_auto(boxes, plus_one=plus_one)
 
     def step(carry, _):
         live, active = carry
@@ -94,7 +105,10 @@ def _select_loop(
         ok = best > score_threshold
         idx = jnp.where(ok, i, -1).astype(jnp.int32)
 
-        ious = iou_row(boxes, boxes[i], plus_one=plus_one)
+        if iou_mat is not None:
+            ious = iou_mat[i]
+        else:
+            ious = iou_row(boxes, boxes[i], plus_one=plus_one)
         over = ious > iou_threshold
         if method == 1:  # linear decay
             weight = jnp.where(over, 1.0 - ious, 1.0)
