@@ -86,11 +86,13 @@ def _select_loop(
     boxes = boxes.astype(jnp.float32)
     live_scores = scores.astype(jnp.float32)
 
-    # Precompute the O(N^2) IoU once (tiled Pallas kernel on TPU) so the
-    # sequential scan below is pure row lookups.  Worth it whenever more
-    # than ~max_out/2 rows get read, i.e. essentially always.
+    # Optionally precompute the O(N^2) IoU once (tiled Pallas kernel,
+    # ops/pallas_iou.py) so the scan is row lookups.  Measured on the
+    # fused detect path this loses to XLA's fusion of the per-step
+    # iou_row (the matrix materializes through HBM), so it is opt-in —
+    # it wins when the same box set feeds several consumers.
     if use_iou_matrix is None:
-        use_iou_matrix = n >= 256
+        use_iou_matrix = False
     iou_mat = None
     if use_iou_matrix:
         from .pallas_iou import iou_matrix_auto
