@@ -19,6 +19,7 @@ from dataclasses import dataclass, field
 from typing import Dict, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -86,23 +87,91 @@ UFLDV2_SPECS: Dict[LaneModelType, UFLDv2Spec] = {
 }
 
 
+class SegHead(nn.Module):
+    """Aux segmentation head for UFLDv2 training (reference
+    exportLib/ultrafastLaneV2/seg_model.py:16-55): three lateral conv
+    stacks over C2/C3/C5 + dilated combine to (lanes+1) logits."""
+
+    num_lanes: int
+    dtype: object = jnp.float32
+
+    def _cbr(self, x, features, name, dilation=1, train=False):
+        p = dilation
+        x = nn.Conv(
+            features, (3, 3), padding=((p, p), (p, p)),
+            kernel_dilation=(dilation, dilation), use_bias=False,
+            dtype=self.dtype, name=name + "_conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name + "_bn",
+        )(x)
+        return nn.relu(x)
+
+    @nn.compact
+    def __call__(self, x2, x3, fea, train: bool = False):
+        h2 = x2
+        for i in range(4):
+            h2 = self._cbr(h2, 128, f"aux2_{i}", train=train)
+        h3 = x3
+        for i in range(3):
+            h3 = self._cbr(h3, 128, f"aux3_{i}", train=train)
+        b, hh, ww, c = h3.shape
+        h3 = jax.image.resize(h3, (b, hh * 2, ww * 2, c), "bilinear")
+        h4 = fea
+        for i in range(2):
+            h4 = self._cbr(h4, 128, f"aux4_{i}", train=train)
+        b, hh, ww, c = h4.shape
+        h4 = jax.image.resize(h4, (b, hh * 4, ww * 4, c), "bilinear")
+        seg = jnp.concatenate([h2, h3, h4], axis=-1)
+        seg = self._cbr(seg, 256, "comb0", dilation=2, train=train)
+        seg = self._cbr(seg, 128, "comb1", dilation=2, train=train)
+        seg = self._cbr(seg, 128, "comb2", dilation=2, train=train)
+        seg = self._cbr(seg, 128, "comb3", dilation=4, train=train)
+        return nn.Conv(
+            self.num_lanes + 1, (1, 1), dtype=self.dtype, name="comb4"
+        )(seg)
+
+
 class UFLDv2Net(nn.Module):
-    """UFLDv2: anchor-classification lane detector."""
+    """UFLDv2: anchor-classification lane detector.
+
+    ``tta=True`` reproduces the reference's 5-way shifted-feature
+    test-time augmentation (model_culane.py:65-96): the pooled feature
+    map is shifted left/right/up/down (mean-filled at the border), all 5
+    variants run through the shared classifier, stacked on the batch dim.
+    ``use_aux`` adds the training-only segmentation head.
+    """
 
     spec: UFLDv2Spec
     dtype: object = jnp.float32
+    use_aux: bool = False
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, train: bool = False
+        self, x: jnp.ndarray, train: bool = False, tta: bool = False
     ) -> Dict[str, jnp.ndarray]:
         s = self.spec
-        _, _, fea = ResNetFeatures(
+        x2, x3, fea = ResNetFeatures(
             depth=s.backbone, dtype=self.dtype, name="backbone"
         )(x, train=train)
+        seg_out = None
+        if self.use_aux:
+            seg_out = SegHead(
+                s.num_lanes, dtype=self.dtype, name="seg_head"
+            )(x2, x3, fea, train=train)
         fea = nn.Conv(8, (1, 1), use_bias=True, dtype=self.dtype, name="pool")(
             fea
         )
+        if tta:
+            # shifted copies along W / H, border replaced by the mean
+            w_mean = fea.mean(axis=2, keepdims=True)
+            h_mean = fea.mean(axis=1, keepdims=True)
+            left = jnp.concatenate([fea[:, :, 1:, :], w_mean], axis=2)
+            right = jnp.concatenate([w_mean, fea[:, :, :-1, :]], axis=2)
+            up = jnp.concatenate([fea[:, 1:, :, :], h_mean], axis=1)
+            down = jnp.concatenate([h_mean, fea[:, :-1, :, :]], axis=1)
+            fea = jnp.concatenate([fea, left, right, up, down], axis=0)
         # torch flattens NCHW (c, h, w); transpose so ingested FC weights
         # line up with the same element order.
         b = fea.shape[0]
@@ -122,12 +191,15 @@ class UFLDv2Net(nn.Module):
             b, 2, s.num_row, s.num_lanes
         )
         exist_col = out[:, d1 + d2 + d3 :].reshape(b, 2, s.num_col, s.num_lanes)
-        return {
+        result = {
             "loc_row": loc_row,
             "loc_col": loc_col,
             "exist_row": exist_row,
             "exist_col": exist_col,
         }
+        if seg_out is not None:
+            result["seg_out"] = seg_out
+        return result
 
 
 @dataclass(frozen=True)

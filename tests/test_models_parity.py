@@ -108,3 +108,35 @@ def test_ufldv1_parity(torch_seed):
     assert out.shape == (
         1, spec.griding_num + 1, spec.cls_num_per_lane, spec.num_lanes
     )
+
+
+def test_ufldv2_tta_and_aux():
+    """TTA yields 5x batch of identically-shaped outputs; use_aux adds a
+    seg_out map (parity with exportLib model_culane.py:40-96)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adas_tpu.models.ufld import UFLDv2Net, UFLDv2Spec
+
+    spec = UFLDv2Spec(
+        input_height=64, input_width=128, crop_ratio=0.8,
+        num_cell_row=16, num_row=8, num_cell_col=16, num_col=8,
+        fc_norm=True, mlp_mid=64, img_w=128, img_h=64,
+    )
+    net = UFLDv2Net(spec, use_aux=True)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 64, 128, 3)),
+        jnp.float32,
+    )
+    variables = net.init(jax.random.PRNGKey(0), x)
+    out = net.apply(variables, x)
+    assert out["loc_row"].shape == (2, 16, 8, 4)
+    assert out["seg_out"].shape[0] == 2 and out["seg_out"].shape[-1] == 5
+
+    tta = net.apply(variables, x, tta=True)
+    assert tta["loc_row"].shape == (10, 16, 8, 4)
+    # slot 0 of the TTA batch equals the plain forward (unshifted copy)
+    np.testing.assert_allclose(
+        np.asarray(tta["loc_row"][:2]), np.asarray(out["loc_row"]),
+        rtol=1e-5, atol=1e-5,
+    )

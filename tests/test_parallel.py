@@ -79,3 +79,38 @@ def test_sharded_train_step_matches_single_device():
         _, loss = step(state, batch)
         losses[n] = float(loss)
     assert losses[1] == pytest.approx(losses[8], rel=2e-5)
+
+
+def test_checkpoint_save_restore(tmp_path):
+    """Sharded train state round-trips through orbax with shardings."""
+    from adas_tpu.models.ufld import UFLDv2Spec
+    from adas_tpu.parallel import make_ufld_train_state
+    from adas_tpu.parallel.checkpoint import (
+        latest_checkpoint,
+        restore_train_state,
+        save_train_state,
+    )
+
+    spec = UFLDv2Spec(
+        input_height=64, input_width=128, crop_ratio=0.8,
+        num_cell_row=16, num_row=8, num_cell_col=16, num_col=8,
+        fc_norm=True, mlp_mid=64, img_w=128, img_h=64,
+    )
+    mesh = make_mesh(8)
+    _, _, state = make_ufld_train_state(spec, mesh, jax.random.PRNGKey(7))
+    root = str(tmp_path / "ckpt")
+    save_train_state(root, state, step=3)
+    target = latest_checkpoint(root)
+    assert target and target.endswith("step_00000003")
+
+    _, _, fresh = make_ufld_train_state(spec, mesh, jax.random.PRNGKey(8))
+    restored, step = restore_train_state(target, fresh)
+    assert step == 3
+    orig_kernel = np.asarray(state["params"]["cls_fc1"]["kernel"])
+    back_kernel = np.asarray(restored["params"]["cls_fc1"]["kernel"])
+    np.testing.assert_array_equal(orig_kernel, back_kernel)
+    # sharding preserved (TP over model axis)
+    assert (
+        restored["params"]["cls_fc1"]["kernel"].sharding
+        == fresh["params"]["cls_fc1"]["kernel"].sharding
+    )
