@@ -26,6 +26,7 @@ from ..perception.lane_detector import (
 from ..perception.object_detector import YoloDetector
 from ..tracking import BYTETracker
 from ..utils.logger import Logger
+from ..utils.profiling import FPSCounter, StageTimers
 from ..utils.types import LaneModelType, ObjectModelType
 from .panel import ControlPanel
 
@@ -91,6 +92,9 @@ class ADASPipeline:
         self.analyzeMsg = TaskConditions()
         self.object_infer_time = 0.0
         self.lane_infer_time = 0.0
+        # observability: per-stage p50/p95 + rolling FPS (SURVEY.md §5)
+        self.timers = StageTimers()
+        self.fps = FPSCounter()
 
         # Fused single-graph path (pipeline/fused.py) when the model pair
         # supports it: one dispatch + one fetch per frame instead of two.
@@ -107,24 +111,32 @@ class ADASPipeline:
         """Run the full per-frame stack; returns the annotated frame."""
         frame_show = frame.copy()
 
+        self.fps.tick()
         if self.fused is not None:
             t0 = time.time()
-            self.fused.run(frame)
+            with self.timers.stage("fused_infer"):
+                self.fused.run(frame)
             self.object_infer_time = round(time.time() - t0, 2)
             self.lane_infer_time = self.object_infer_time
-            self._update_tracker(frame)
-            return self._analyze_and_render(frame, frame_show, draw)
+            with self.timers.stage("tracker"):
+                self._update_tracker(frame)
+            with self.timers.stage("analytics_render"):
+                return self._analyze_and_render(frame, frame_show, draw)
 
         t0 = time.time()
-        self.objectDetector.DetectFrame(frame)
+        with self.timers.stage("object_infer"):
+            self.objectDetector.DetectFrame(frame)
         self.object_infer_time = round(time.time() - t0, 2)
 
-        self._update_tracker(frame)
+        with self.timers.stage("tracker"):
+            self._update_tracker(frame)
 
         t0 = time.time()
-        self.laneDetector.DetectFrame(frame)
+        with self.timers.stage("lane_infer"):
+            self.laneDetector.DetectFrame(frame)
         self.lane_infer_time = round(time.time() - t0, 4)
-        return self._analyze_and_render(frame, frame_show, draw)
+        with self.timers.stage("analytics_render"):
+            return self._analyze_and_render(frame, frame_show, draw)
 
     def _update_tracker(self, frame: np.ndarray) -> None:
         if self.objectTracker is None:

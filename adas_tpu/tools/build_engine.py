@@ -15,55 +15,19 @@ import argparse
 import jax.numpy as jnp
 
 from ..engine.artifact import build_artifact
-from ..utils.types import LaneModelType, ObjectModelType
 
 
 def _build_net(args):
-    name = args.type.upper()
-    if hasattr(ObjectModelType, name) and name != "EfficientDet".upper():
-        from ..models.yolo import YoloSpec, build_yolo
+    from ..engine.registry import build
 
-        spec = YoloSpec(
-            family={"YOLOV8": "v8", "YOLOV9": "v8", "YOLOV10": "v10"}.get(
-                name, "v5"
-            ),
-            scale=args.scale,
-            num_classes=args.num_classes,
-            input_size=(args.height, args.width),
-        )
-        net = build_yolo(spec)
-        meta = {"model": name, "scale": args.scale}
-        return net, (1, 3, args.height, args.width), meta
-    if name == "EFFICIENTDET":
-        from ..models.efficientdet import EfficientDet, EfficientDetSpec
-
-        spec = EfficientDetSpec(
-            compound=int(args.scale or 0), num_classes=args.num_classes
-        )
-        net = EfficientDet(spec)
-        s = spec.input_size
-        return net, (1, 3, s, s), {"model": name, "compound": spec.compound}
-    if name.startswith("UFLD"):
-        from ..models.ufld import (
-            UFLDV1_SPECS,
-            UFLDV2_SPECS,
-            UFLDv1Net,
-            UFLDv2Net,
-        )
-
-        lane_type = LaneModelType[name]
-        if "V2" in name:
-            spec = UFLDV2_SPECS[lane_type]
-            net = UFLDv2Net(spec)
-        else:
-            spec = UFLDV1_SPECS[lane_type]
-            net = UFLDv1Net(spec)
-        return (
-            net,
-            (1, 3, spec.input_height, spec.input_width),
-            {"model": name},
-        )
-    raise ValueError(f"unknown model type {args.type}")
+    entry = build(
+        args.type,
+        scale=args.scale,
+        height=args.height,
+        width=args.width,
+        num_classes=args.num_classes,
+    )
+    return entry.net, entry.input_shape_nchw, entry.meta
 
 
 def main() -> None:

@@ -77,3 +77,25 @@ class TestParamsIO:
         assert set(flat) == {"a::b", "a::c::d"}
         back = unflatten_variables(flat)
         np.testing.assert_array_equal(back["a"]["c"]["d"], np.array([2.0]))
+
+
+def test_registry_builds_all_names():
+    import jax
+    import jax.numpy as jnp
+
+    from adas_tpu.engine.registry import available, build
+
+    names = available()
+    assert {"YOLOV8", "YOLOV10", "UFLDV2_CULANE", "EFFICIENTDET"} <= set(names)
+    entry = build("yolov8", scale="n", height=64, width=64, num_classes=4)
+    n, c, h, w = entry.input_shape_nchw
+    variables = entry.net.init(
+        jax.random.PRNGKey(0), jnp.zeros((n, h, w, c))
+    )
+    out = entry.net.apply(variables, jnp.zeros((n, h, w, c)))
+    assert out.shape[0] == 1
+
+    import pytest
+
+    with pytest.raises(KeyError):
+        build("nope")
