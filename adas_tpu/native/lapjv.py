@@ -20,6 +20,10 @@ _lib_failed = False
 
 def _native():
     global _lib, _lib_failed
+    import os
+
+    if os.environ.get("ADAS_DISABLE_NATIVE_LAPJV"):
+        return None
     if _lib is None and not _lib_failed:
         try:
             from .build import load_library

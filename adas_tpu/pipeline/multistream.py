@@ -169,7 +169,16 @@ class MultiStreamADAS:
 
     def fetch(self, handle, frames: np.ndarray) -> List[dict]:
         """Block and run per-stream host analytics; returns signal dicts."""
-        flat = np.asarray(handle)  # ONE transfer for the whole batch
+        # Assemble shard-by-shard: one transfer per addressable shard (a
+        # single shard on one real chip).  Also sidesteps a sporadic PJRT
+        # CPU-client abort seen fetching 8-way sharded arrays whole.
+        by_start = {}
+        for sh in handle.addressable_shards:
+            start = sh.index[0].start or 0 if sh.index else 0
+            by_start.setdefault(start, sh)  # dedupe model-axis replicas
+        flat = np.concatenate(
+            [np.asarray(by_start[k].data) for k in sorted(by_start)], axis=0
+        )
         per_stream = [
             unpack(flat[i], self._spec_holder["spec"])
             for i in range(self.n_streams)

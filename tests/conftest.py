@@ -19,6 +19,10 @@ import jax  # noqa: E402
 # A site-wide PJRT plugin may have force-registered the TPU backend before
 # this file runs; pin the platform list to cpu so tests never touch the chip.
 jax.config.update("jax_platforms", "cpu")
+# The virtual-8-device CPU backend sporadically aborts under concurrent
+# dispatch of large sharded executables (observed as silent SIGABRT in
+# pjit __call__ / array fetch); synchronous dispatch sidesteps the race.
+jax.config.update("jax_cpu_enable_async_dispatch", False)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

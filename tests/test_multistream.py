@@ -56,3 +56,23 @@ def test_multistream_matches_per_stream_detections():
         ]
         got = [(o.label, round(o.conf, 4)) for o in results[i]["objects"]]
         assert got == expected
+
+
+def test_multistream_fetch_dedupes_replica_shards():
+    """(data=4, model=2) mesh: each data shard has 2 replicas; fetch must
+    not double-count them."""
+    yolo = YoloDetector(
+        model_path=None, model_type=ObjectModelType.YOLOV8, scale="n",
+        input_size=(160, 160), box_score=0.25,
+    )
+    lane = UltrafastLaneDetectorV2(
+        model_path=None, model_type=LaneModelType.UFLDV2_TUSIMPLE
+    )
+    mesh = make_mesh(8)  # default: model_parallel=2
+    assert mesh.devices.shape == (4, 2)
+    ms = MultiStreamADAS(yolo, lane, 4, frame_hw=(180, 320), mesh=mesh)
+    frames = np.random.default_rng(1).integers(
+        0, 255, (4, 180, 320, 3), dtype=np.uint8
+    )
+    results = ms.process_batch(frames)
+    assert len(results) == 4
