@@ -189,7 +189,6 @@ def _fuse(name_scope, inputs: List[jnp.ndarray], module) -> jnp.ndarray:
 
 class BiFPNLayer(nn.Module):
     channels: int
-    first: bool = False
     dtype: object = jnp.float32
 
     def _down(self, x):
@@ -384,7 +383,7 @@ class EfficientDet(nn.Module):
 
         for i in range(fpn_layers):
             feats = BiFPNLayer(
-                fpn_ch, first=(i == 0), dtype=self.dtype, name=f"bifpn{i}"
+                fpn_ch, dtype=self.dtype, name=f"bifpn{i}"
             )(feats, train=train)
 
         cls_outs = PredictionHead(

@@ -183,7 +183,6 @@ class YoloDetector(ObjectDetectBase):
         if engine is None:
             self.net = build_yolo(self.spec)
             self.variables = self._load_weights()
-            self._raw_fn = None
         else:
             n, c, h, w = engine.get_engine_input_shape()
             self.spec = YoloSpec(
@@ -216,6 +215,10 @@ class YoloDetector(ObjectDetectBase):
             if self.spec.family == "v10":
                 return self.net.init(rng, x0, method=self.net.both)
             return self.net.init(rng, x0)
+        if str(self.model_path).endswith("_int8.npz"):
+            from ..tools.quantize import load_int8
+
+            return load_int8(self.model_path)
         if str(self.model_path).endswith(".npz"):
             from ..tools.params_io import load_params
 
