@@ -335,3 +335,45 @@ def test_strack_geometry_roundtrip():
     np.testing.assert_allclose(STrack.tlwh_to_tlbr(tlwh), tlbr)
     xyah = STrack.tlwh_to_xyah(tlwh)
     np.testing.assert_allclose(xyah, [30, 60, 0.5, 80])
+
+
+def test_kalman_jax_matches_numpy(rng):
+    """Device-side batched KF (ops/kalman_jax.py) matches the host
+    tracker's numpy filter bit-for-bit within float tolerance."""
+    import jax.numpy as jnp
+
+    from adas_tpu.ops import kalman_jax as kj
+
+    kf = KalmanFilter()
+    n = 6
+    zs = np.stack([
+        np.array([rng.uniform(0, 100), rng.uniform(0, 100),
+                  rng.uniform(0.3, 2.0), rng.uniform(10, 80)])
+        for _ in range(n)
+    ])
+    means_np, covs_np = [], []
+    for z in zs:
+        m, c = kf.initiate(z)
+        means_np.append(m)
+        covs_np.append(c)
+    means_np, covs_np = np.stack(means_np), np.stack(covs_np)
+    means_j, covs_j = kj.initiate(jnp.asarray(zs))
+    np.testing.assert_allclose(np.asarray(means_j), means_np, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(covs_j), covs_np, rtol=1e-6)
+
+    pm_np, pc_np = kf.multi_predict(means_np, covs_np)
+    pm_j, pc_j = kj.predict(means_j, covs_j)
+    np.testing.assert_allclose(np.asarray(pm_j), pm_np, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pc_j), pc_np, rtol=1e-5, atol=1e-6)
+
+    z2 = zs + rng.normal(0, 1, zs.shape)
+    um_np, uc_np = kf.multi_update(pm_np, pc_np, z2)
+    um_j, uc_j = kj.update(pm_j, pc_j, jnp.asarray(z2))
+    np.testing.assert_allclose(np.asarray(um_j), um_np, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(uc_j), uc_np, rtol=1e-3, atol=1e-4)
+
+    g_np = np.stack([
+        kf.gating_distance(pm_np[i], pc_np[i], z2) for i in range(n)
+    ])
+    g_j = kj.gating_distance(pm_j, pc_j, jnp.asarray(z2))
+    np.testing.assert_allclose(np.asarray(g_j), g_np, rtol=1e-3, atol=1e-4)
