@@ -223,8 +223,23 @@ class YoloDetector(ObjectDetectBase):
             from ..tools.params_io import load_params
 
             return load_params(self.model_path)
+        if str(self.model_path).endswith((".pth", ".pt")):
+            from ..tools.torch_import import load_state_dict
+            from ..tools.yolo_import import yolo_variables
+
+            return yolo_variables(
+                load_state_dict(self.model_path), self.spec
+            )
+        if str(self.model_path).endswith(".onnx"):
+            from ..tools.onnx_import import read_onnx_initializers
+            from ..tools.yolo_import import yolo_variables
+
+            return yolo_variables(
+                read_onnx_initializers(self.model_path), self.spec
+            )
         raise ValueError(
-            f"Unsupported weights: {self.model_path} (expect .npz or None)"
+            f"Unsupported weights: {self.model_path} "
+            "(expect .npz/.pth/.onnx or None)"
         )
 
     def _build_step(self, src_shape):

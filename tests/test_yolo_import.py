@@ -1,0 +1,95 @@
+"""Ultralytics-layout YOLO checkpoint mapping tests.
+
+No real ultralytics checkpoints ship in this environment, so validation
+is structural: the mapping must (a) cover the full flax parameter tree of
+the native graph — every leaf written exactly once with the right shape —
+and (b) round-trip values exactly.  The synthetic state dict is generated
+from the mapping's own source-key list with shapes taken from the flax
+tree (inverse transforms applied), which pins the module-index layout
+against models/yolo.py.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adas_tpu.models.yolo import YoloSpec, build_yolo
+from adas_tpu.tools.yolo_import import yolo_variables, yolov8_mapping, yolov5_mapping
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = np.asarray(v)
+    return out
+
+
+def _inverse_transform(dst_path, value):
+    """Undo the flax-side layout to synthesize a torch-shaped tensor."""
+    if dst_path[-1] == "kernel":
+        if value.ndim == 4:  # HWIO -> OIHW
+            return np.transpose(value, (3, 2, 0, 1))
+        return value.T
+    return value
+
+
+@pytest.mark.parametrize("family,scale", [("v8", "n"), ("v5", "n")])
+def test_mapping_covers_full_tree_and_roundtrips(family, scale):
+    spec = YoloSpec(
+        family=family, scale=scale, num_classes=80, input_size=(64, 64)
+    )
+    net = build_yolo(spec)
+    ref = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+
+    mapping = (
+        yolov8_mapping(spec) if family == "v8" else yolov5_mapping(spec)
+    )
+    flat_ref = {
+        coll: _flatten(ref[coll]) for coll in ("params", "batch_stats")
+    }
+
+    # destination coverage: every mapping target exists in the real tree,
+    # and every real leaf is targeted exactly once
+    targets = {}
+    for src, coll, dst, _ in mapping:
+        assert dst in flat_ref[coll], f"mapping target missing: {coll}/{dst}"
+        assert (coll, dst) not in targets, f"duplicate target {dst}"
+        targets[(coll, dst)] = src
+    for coll in ("params", "batch_stats"):
+        for leaf in flat_ref[coll]:
+            assert (coll, leaf) in targets, f"unmapped flax leaf {coll}/{leaf}"
+
+    # synthesize a torch-style state dict with the reference values
+    rng = np.random.default_rng(0)
+    state = {}
+    for src, coll, dst, _ in mapping:
+        state[src] = _inverse_transform(dst, flat_ref[coll][dst])
+    state["model.22.dfl.conv.weight" if family == "v8" else "model.24.anchors"] = (
+        rng.normal(size=(3,)).astype(np.float32)
+    )  # skipped buffers must be tolerated
+
+    got = yolo_variables(state, spec)
+    flat_got = {
+        coll: _flatten(got[coll]) for coll in ("params", "batch_stats")
+    }
+    for coll in ("params", "batch_stats"):
+        assert set(flat_got[coll]) == set(flat_ref[coll])
+        for k in flat_ref[coll]:
+            np.testing.assert_array_equal(flat_got[coll][k], flat_ref[coll][k])
+
+    # and the imported tree actually runs
+    out = net.apply(got, jnp.zeros((1, 64, 64, 3)))
+    ref_out = net.apply(ref, jnp.zeros((1, 64, 64, 3)))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref_out), rtol=1e-6
+    )
+
+
+def test_missing_tensor_raises():
+    spec = YoloSpec(family="v8", scale="n", num_classes=80, input_size=(64, 64))
+    with pytest.raises(KeyError):
+        yolo_variables({}, spec)
