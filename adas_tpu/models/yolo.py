@@ -281,11 +281,16 @@ class YoloBackboneNeck(nn.Module):
         x = Block(ch[1], d[0], True, name="stage1")(x, train)
         x = ConvBN(ch[2], (3, 3), strides=(2, 2), name="down2")(x, train)
         p3 = Block(ch[2], d[1], True, name="stage2")(x, train)
-        x = ConvBN(ch[3], (3, 3), strides=(2, 2), name="down3")(p3, train)
+        if v10:
+            x = SCDown(ch[3], name="down3")(p3, train)
+        else:
+            x = ConvBN(ch[3], (3, 3), strides=(2, 2), name="down3")(p3, train)
         p4 = Block(ch[3], d[2], True, name="stage3")(x, train)
         if v10:
             x = SCDown(ch[4], name="down4")(p4, train)
-            x = C2fCIB(ch[4], d[3], True, name="stage4")(x, train)
+            # v10n keeps a plain C2f at stride 32; s and up use C2fCIB
+            S4Block = C2f if s.scale == "n" else C2fCIB
+            x = S4Block(ch[4], d[3], True, name="stage4")(x, train)
         else:
             x = ConvBN(ch[4], (3, 3), strides=(2, 2), name="down4")(p4, train)
             x = Block(ch[4], d[3], True, name="stage4")(x, train)
@@ -486,7 +491,10 @@ class YoloV10(nn.Module):
 
     def setup(self):
         self.net = YoloBackboneNeck(self.spec)
-        self.head_o2m = DetectHeadV8(self.spec, suffix="m")
+        # v10Detect uses the depthwise cls branch on BOTH heads
+        self.head_o2m = DetectHeadV8(
+            self.spec, suffix="m", lightweight_cls=True
+        )
         self.head_o2o = DetectHeadV8(
             self.spec, suffix="o", lightweight_cls=True
         )

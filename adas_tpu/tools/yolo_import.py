@@ -188,6 +188,8 @@ def yolo_variables(
         mapping = yolov8_mapping(spec)
     elif spec.family == "v5":
         mapping = yolov5_mapping(spec)
+    elif spec.family == "v10":
+        mapping = yolov10_mapping(spec)
     else:
         raise NotImplementedError(
             f"no checkpoint mapping for family {spec.family!r} yet"
@@ -223,3 +225,104 @@ def inverse_mapping(spec: YoloSpec) -> Iterator[tuple]:
     if spec.family == "v8":
         return iter(yolov8_mapping(spec))
     return iter(yolov5_mapping(spec))
+
+
+def _scdown_entries(src: str, dst: Tuple[str, ...]):
+    return _convbn_entries(f"{src}.cv1", dst + ("cv1",)) + _convbn_entries(
+        f"{src}.cv2", dst + ("cv2",)
+    )
+
+
+def _cib_entries(src: str, dst: Tuple[str, ...]):
+    """CIB = 5-conv inverted block; ultralytics nests them under cv1.{j}."""
+    out = []
+    for j in range(5):
+        out += _convbn_entries(f"{src}.cv1.{j}", dst + (f"cv{j}",))
+    return out
+
+
+def _c2fcib_entries(src: str, dst: str, n: int):
+    out = _convbn_entries(f"{src}.cv1", (dst, "cv1"))
+    out += _convbn_entries(f"{src}.cv2", (dst, "cv2"))
+    for i in range(n):
+        out += _cib_entries(f"{src}.m.{i}", (dst, f"m{i}"))
+    return out
+
+
+def _psa_entries(src: str, dst: Tuple[str, ...]):
+    pairs = [
+        ("cv1", "cv1"), ("cv2", "cv2"),
+        ("attn.qkv", "attn_qkv"), ("attn.proj", "attn_proj"),
+        ("attn.pe", "attn_pe"), ("ffn.0", "ffn1"), ("ffn.1", "ffn2"),
+    ]
+    out = []
+    for s_name, d_name in pairs:
+        out += _convbn_entries(f"{src}.{s_name}", dst + (d_name,))
+    return out
+
+
+def _v10_cls_entries(src: str, head: str, suffix: str, li: int):
+    """v10Detect depthwise cls branch: {0,1} are Sequential(dw, pw)."""
+    out = _convbn_entries(
+        f"{src}.0.0", (head, f"cls{suffix}{li}_0a")
+    )
+    out += _convbn_entries(f"{src}.0.1", (head, f"cls{suffix}{li}_0b"))
+    out += _convbn_entries(f"{src}.1.0", (head, f"cls{suffix}{li}_1a"))
+    out += _convbn_entries(f"{src}.1.1", (head, f"cls{suffix}{li}_1b"))
+    out += _plain_conv_entries(f"{src}.2", (head, f"cls{suffix}{li}_2"))
+    return out
+
+
+def yolov10_mapping(spec: YoloSpec) -> List[tuple]:
+    """(src, collection, dst, transform) table for YOLOv10 n/s.
+
+    Larger scales use RepVGGDW inside CIB and C2fCIB in the FPN, which
+    this table does not cover yet.
+    """
+    if spec.scale not in ("n", "s"):
+        raise NotImplementedError(
+            "v10 checkpoint mapping covers scales n/s (larger scales use "
+            "RepVGGDW blocks not yet modeled)"
+        )
+    d = spec.depths
+    m = []
+    net = lambda *p: ("net",) + p  # noqa: E731
+    m += _convbn_entries("model.0", net("stem"))
+    m += _convbn_entries("model.1", net("down1"))
+    m += [(s, c, net(*p), t) for s, c, p, t in _c2f_entries("model.2", "stage1", d[0])]
+    m += _convbn_entries("model.3", net("down2"))
+    m += [(s, c, net(*p), t) for s, c, p, t in _c2f_entries("model.4", "stage2", d[1])]
+    m += _scdown_entries("model.5", net("down3"))
+    m += [(s, c, net(*p), t) for s, c, p, t in _c2f_entries("model.6", "stage3", d[2])]
+    m += _scdown_entries("model.7", net("down4"))
+    if spec.scale == "n":
+        m += [(s, c, net(*p), t) for s, c, p, t in _c2f_entries("model.8", "stage4", d[3])]
+    else:
+        m += [(s, c, net(*p), t) for s, c, p, t in _c2fcib_entries("model.8", "stage4", d[3])]
+    m += [(s, c, net(*p), t) for s, c, p, t in _sppf_entries("model.9", "sppf")]
+    m += _psa_entries("model.10", net("psa"))
+    m += [(s, c, net(*p), t) for s, c, p, t in _c2f_entries("model.13", "fpn4", d[0])]
+    m += [(s, c, net(*p), t) for s, c, p, t in _c2f_entries("model.16", "fpn3", d[0])]
+    m += _convbn_entries("model.17", net("pan3"))
+    m += [(s, c, net(*p), t) for s, c, p, t in _c2f_entries("model.19", "pan4", d[0])]
+    m += _scdown_entries("model.20", net("pan5_down"))
+    m += [(s, c, net(*p), t) for s, c, p, t in _c2fcib_entries("model.22", "pan5", d[0])]
+    for li in range(3):
+        for src_head, head, suffix in (
+            ("model.23.cv2", "head_o2m", "m"),
+            ("model.23.one2one_cv2", "head_o2o", "o"),
+        ):
+            m += _convbn_entries(
+                f"{src_head}.{li}.0", (head, f"box{suffix}{li}_0")
+            )
+            m += _convbn_entries(
+                f"{src_head}.{li}.1", (head, f"box{suffix}{li}_1")
+            )
+            m += _plain_conv_entries(
+                f"{src_head}.{li}.2", (head, f"box{suffix}{li}_2")
+            )
+        m += _v10_cls_entries(f"model.23.cv3.{li}", "head_o2m", "m", li)
+        m += _v10_cls_entries(
+            f"model.23.one2one_cv3.{li}", "head_o2o", "o", li
+        )
+    return m

@@ -15,7 +15,12 @@ import jax
 import jax.numpy as jnp
 
 from adas_tpu.models.yolo import YoloSpec, build_yolo
-from adas_tpu.tools.yolo_import import yolo_variables, yolov8_mapping, yolov5_mapping
+from adas_tpu.tools.yolo_import import (
+    yolo_variables,
+    yolov5_mapping,
+    yolov8_mapping,
+    yolov10_mapping,
+)
 
 
 def _flatten(tree, prefix=()):
@@ -37,17 +42,25 @@ def _inverse_transform(dst_path, value):
     return value
 
 
-@pytest.mark.parametrize("family,scale", [("v8", "n"), ("v5", "n")])
+@pytest.mark.parametrize(
+    "family,scale", [("v8", "n"), ("v5", "n"), ("v10", "n"), ("v10", "s")]
+)
 def test_mapping_covers_full_tree_and_roundtrips(family, scale):
     spec = YoloSpec(
         family=family, scale=scale, num_classes=80, input_size=(64, 64)
     )
     net = build_yolo(spec)
-    ref = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    if family == "v10":
+        ref = net.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+            method=net.both,
+        )
+    else:
+        ref = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
 
-    mapping = (
-        yolov8_mapping(spec) if family == "v8" else yolov5_mapping(spec)
-    )
+    mapping = {
+        "v8": yolov8_mapping, "v5": yolov5_mapping, "v10": yolov10_mapping,
+    }[family](spec)
     flat_ref = {
         coll: _flatten(ref[coll]) for coll in ("params", "batch_stats")
     }
@@ -68,9 +81,13 @@ def test_mapping_covers_full_tree_and_roundtrips(family, scale):
     state = {}
     for src, coll, dst, _ in mapping:
         state[src] = _inverse_transform(dst, flat_ref[coll][dst])
-    state["model.22.dfl.conv.weight" if family == "v8" else "model.24.anchors"] = (
-        rng.normal(size=(3,)).astype(np.float32)
-    )  # skipped buffers must be tolerated
+    buffer_key = {
+        "v8": "model.22.dfl.conv.weight",
+        "v5": "model.24.anchors",
+        "v10": "model.23.dfl.conv.weight",
+    }[family]
+    state[buffer_key] = rng.normal(size=(3,)).astype(np.float32)
+    # skipped buffers must be tolerated
 
     got = yolo_variables(state, spec)
     flat_got = {
