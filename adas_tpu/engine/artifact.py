@@ -93,7 +93,6 @@ class CompiledEngine(EngineBase):
             self._exported = jax_export.deserialize(zf.read("graph.bin"))
         self.providers = ",".join(self._meta["platforms"])
         self._call = jax.jit(self._exported.call)
-        self._treedef = None
 
     @property
     def meta(self) -> dict:
