@@ -34,6 +34,10 @@ _V8_SCALES = {
     "l": (1.0, 1.00, 512),
     "x": (1.0, 1.25, 512),
 }
+# "c" row serves the GELAN-C (yolov9c) head-width computation: its P3/P4/P5
+# feature widths are 256/512/512.
+_V8_SCALES["c"] = (1.0, 1.0, 512)
+
 _V5_SCALES = {
     "n": (1 / 3, 0.25, 1024),
     "s": (1 / 3, 0.50, 1024),
@@ -542,6 +546,11 @@ def build_yolo(spec: YoloSpec) -> nn.Module:
         return YoloV5(spec)
     if spec.family == "v8":
         return YoloV8(spec)
+    if spec.family == "v9":
+        from .yolov9 import GELAN_CONFIGS, YoloV9
+
+        variant = spec.scale if spec.scale in GELAN_CONFIGS else "c"
+        return YoloV9(spec, variant=variant)
     if spec.family == "v10":
         return YoloV10(spec)
     raise ValueError(f"unknown yolo family {spec.family}")

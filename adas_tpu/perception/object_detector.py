@@ -42,7 +42,7 @@ _FAMILY_OF = {
     ObjectModelType.YOLOV6: "v5",  # same output contract as v5/v7
     ObjectModelType.YOLOV7: "v5",
     ObjectModelType.YOLOV8: "v8",
-    ObjectModelType.YOLOV9: "v8",
+    ObjectModelType.YOLOV9: "v9",
     ObjectModelType.YOLOV10: "v10",
 }
 
@@ -173,9 +173,13 @@ class YoloDetector(ObjectDetectBase):
 
             engine = CompiledEngine(self.model_path)
 
+        family = _FAMILY_OF[self.model_type]
+        scale = getattr(self, "scale", "n")
+        if family == "v9" and scale not in ("c",):
+            scale = "c"  # GELAN-C is the supported v9 variant
         self.spec = YoloSpec(
-            family=_FAMILY_OF[self.model_type],
-            scale=getattr(self, "scale", "n"),
+            family=family,
+            scale=scale,
             num_classes=len(self.class_names),
             input_size=tuple(getattr(self, "input_size", (640, 640))),
         )

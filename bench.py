@@ -26,7 +26,7 @@ import numpy as np
 SCALE = os.environ.get("ADAS_BENCH_SCALE", "l")
 N_STREAMS = int(os.environ.get("ADAS_BENCH_STREAMS", "8"))
 N_TICKS = int(os.environ.get("ADAS_BENCH_TICKS", "30"))
-DEPTH = int(os.environ.get("ADAS_BENCH_DEPTH", "2"))
+DEPTH = int(os.environ.get("ADAS_BENCH_DEPTH", "3"))
 BASELINE_FPS = 300.0
 
 

@@ -162,3 +162,34 @@ class TestYoloDetectorFacade:
     def test_object_info_before_detect_warns(self):
         det = YoloDetector()
         assert det.object_info == []
+
+
+def test_yolov9_gelan_graph():
+    """Native GELAN-C trunk emits the v8 output contract and runs through
+    the detector facade."""
+    import jax
+
+    from adas_tpu.models.yolo import YoloSpec, build_yolo
+
+    spec = YoloSpec(family="v9", scale="c", num_classes=12,
+                    input_size=(64, 64))
+    net = build_yolo(spec)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = net.init(jax.random.PRNGKey(0), x)
+    out = net.apply(variables, x)
+    n = sum((64 // s) ** 2 for s in (8, 16, 32))
+    assert out.shape == (1, 4 + 12, n)
+
+    from adas_tpu.perception.object_detector import YoloDetector
+    from adas_tpu.utils.types import ObjectModelType
+
+    det = YoloDetector(
+        model_path=None, model_type=ObjectModelType.YOLOV9,
+        input_size=(64, 64), box_score=0.2,
+    )
+    assert det.spec.family == "v9" and det.spec.scale == "c"
+    frame = np.random.default_rng(0).integers(
+        0, 255, (48, 64, 3), dtype=np.uint8
+    )
+    det.DetectFrame(frame)
+    assert isinstance(det.object_info, list)
