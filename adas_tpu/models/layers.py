@@ -88,3 +88,30 @@ def autopad_torch(kernel: int, dilation: int = 1) -> Sequence[Tuple[int, int]]:
     """Symmetric torch-style padding (k//2) as explicit lax padding."""
     p = dilation * (kernel - 1) // 2
     return ((p, p), (p, p))
+
+
+class CoordConv(nn.Module):
+    """Conv over input concatenated with normalized (x, y) coordinate
+    planes.  Utility parity with the reference's unused CoordConv
+    (exportLib/ultrafastLaneV2/layer.py:83-128); available for lane-head
+    experiments."""
+
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, _ = x.shape
+        ys = jnp.linspace(-1.0, 1.0, h, dtype=jnp.float32)
+        xs = jnp.linspace(-1.0, 1.0, w, dtype=jnp.float32)
+        yy = jnp.broadcast_to(ys[:, None], (h, w))
+        xx = jnp.broadcast_to(xs[None, :], (h, w))
+        coords = jnp.broadcast_to(
+            jnp.stack([xx, yy], axis=-1)[None], (b, h, w, 2)
+        ).astype(x.dtype)
+        return ConvBN(
+            self.features, self.kernel, strides=self.strides,
+            dtype=self.dtype, name="conv",
+        )(jnp.concatenate([x, coords], axis=-1), train)

@@ -75,6 +75,28 @@ class ObjectDetectBase:
         self.__dict__.update(self._defaults)
         self.logger = logger
 
+    def set_input_details(self, engine) -> None:
+        """Record engine input geometry (reference ObjectDetector/
+        core.py:73-80): shape, NCHW channel count and dtype."""
+        self.input_shapes = tuple(engine.get_engine_input_shape())
+        self.input_types = engine.engine_dtype
+        self.channel_count = self.input_shapes[1]
+        if self.logger:
+            self.logger.info(
+                f"-> Input Shape : {self.input_shapes}"
+            )
+
+    def set_output_details(self, engine) -> None:
+        """Record engine output shapes/names (reference ObjectDetector/
+        core.py:82-91)."""
+        shapes, names = engine.get_engine_output_shape()
+        self.output_shapes = shapes
+        self.output_names = names
+        if self.logger:
+            self.logger.info(
+                f"-> Output Shape : {shapes} Names : {names}"
+            )
+
     @property
     def object_info(self) -> List[RectInfo]:
         if not hasattr(self, "_object_info"):
@@ -184,6 +206,9 @@ class YoloDetector(ObjectDetectBase):
             input_size=tuple(getattr(self, "input_size", (640, 640))),
         )
         self.engine = engine
+        if engine is not None:
+            self.set_input_details(engine)
+            self.set_output_details(engine)
         if engine is None:
             self.net = build_yolo(self.spec)
             self.variables = self._load_weights()

@@ -103,6 +103,19 @@ def fuse_motion(
     return cost_matrix
 
 
+def fuse_iou(
+    cost_matrix: np.ndarray, tracks: Sequence, detections: Sequence
+) -> np.ndarray:
+    """Blend a ReID cost with IoU similarity (API parity with reference
+    matching.py:98-106; unused by ByteTrack itself)."""
+    if cost_matrix.size == 0:
+        return cost_matrix
+    reid_sim = 1.0 - cost_matrix
+    iou_sim = 1.0 - iou_distance(tracks, detections)
+    fuse_sim = reid_sim * (1 + iou_sim) / 2
+    return 1.0 - fuse_sim
+
+
 def STrack_xyah(det) -> np.ndarray:
     tlwh = det.tlwh
     ret = np.asarray(tlwh, dtype=np.float64).copy()
