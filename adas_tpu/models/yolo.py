@@ -17,8 +17,8 @@ public ultralytics model cards.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
-from typing import Dict, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax

@@ -19,12 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.yolo import YoloSpec, build_yolo
-from ..ops.preprocess import (
-    LetterboxGeometry,
-    imagenet_preprocess,
-    letterbox,
-    yolo_preprocess,
-)
+from ..ops.preprocess import LetterboxGeometry, yolo_preprocess
 from ..ops.yolo_decode import (
     decode_predictions,
     detections_to_original,

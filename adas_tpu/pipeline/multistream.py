@@ -36,7 +36,6 @@ from ..ops.yolo_decode import (
     select_and_nms,
 )
 from ..tracking import BYTETracker
-from ..utils.types import RectInfo
 
 
 class StreamState:

@@ -16,7 +16,7 @@ from typing import Dict, Iterator, List, Tuple
 import numpy as np
 
 from ..models.yolo import YoloSpec
-from .torch_import import _conv, _dense  # OIHW->HWIO / transpose helpers
+from .torch_import import _conv  # OIHW->HWIO transform
 
 
 def _set(tree: dict, path: Tuple[str, ...], value: np.ndarray) -> None:

@@ -7,7 +7,7 @@ in-repo C++ LAPJV (adas_tpu/native/lapjv.cpp) instead of the external
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

@@ -13,7 +13,7 @@ import ast
 import copy
 import json
 import os
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Optional
 
 BASE_KEY = "_base_"
 DELETE_KEY = "_delete_"

@@ -4,6 +4,12 @@ Mirrors the reference's absent test story with the strategy from
 SURVEY.md §4: unit tests on synthetic tensors, multi-chip sharding tests on
 ``--xla_force_host_platform_device_count=8`` fake devices.  Must run before
 the first ``import jax`` anywhere in the test process.
+
+The container's sitecustomize registers the axon (tunneled TPU) PJRT
+plugin into every interpreter at startup; with that plugin initialized
+the 8-virtual-device CPU suite aborts sporadically (silent SIGABRT
+during buffer fetches — reproducibly gone without the plugin).  The
+factory is therefore unregistered below before any backend initializes.
 """
 import os
 
@@ -16,12 +22,16 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-# A site-wide PJRT plugin may have force-registered the TPU backend before
-# this file runs; pin the platform list to cpu so tests never touch the chip.
+# Drop the tunneled-TPU plugin's backend factory entirely: merely pinning
+# jax_platforms=cpu still initializes the plugin .so in-process, and its
+# background machinery destabilizes the CPU test backend.
+from jax._src import xla_bridge  # noqa: E402
+
+xla_bridge._backend_factories.pop("axon", None)
+
 jax.config.update("jax_platforms", "cpu")
-# The virtual-8-device CPU backend sporadically aborts under concurrent
-# dispatch of large sharded executables (observed as silent SIGABRT in
-# pjit __call__ / array fetch); synchronous dispatch sidesteps the race.
+# Synchronous dispatch keeps CPU-backend failures attributable to the
+# test that caused them.
 jax.config.update("jax_cpu_enable_async_dispatch", False)
 
 import numpy as np  # noqa: E402
