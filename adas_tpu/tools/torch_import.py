@@ -172,15 +172,27 @@ def main() -> None:
     ap.add_argument("-o", "--output", required=True, help=".npz output")
     ap.add_argument(
         "--arch", default="ufldv2",
-        choices=["ufldv1", "ufldv2", "resnet"],
+        choices=["ufldv1", "ufldv2", "resnet",
+                 "yolov5", "yolov8", "yolov10"],
     )
     ap.add_argument("--no-fc-norm", action="store_true",
                     help="UFLDv2 variant without the LayerNorm slot")
+    ap.add_argument("--scale", default="n", help="yolo scale (n/s/m/l/x)")
+    ap.add_argument("--num-classes", type=int, default=80)
     args = ap.parse_args()
 
     state = load_state_dict(args.input)
     if args.arch == "resnet":
         variables = resnet_variables(state)
+    elif args.arch.startswith("yolo"):
+        from ..models.yolo import YoloSpec
+        from .yolo_import import yolo_variables
+
+        spec = YoloSpec(
+            family=args.arch.replace("yolo", ""), scale=args.scale,
+            num_classes=args.num_classes,
+        )
+        variables = yolo_variables(state, spec)
     else:
         variables = ufld_variables(
             state,
