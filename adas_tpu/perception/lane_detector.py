@@ -114,6 +114,7 @@ class UltrafastLaneDetectorV2(LaneDetectBase):
         model_type: Optional[LaneModelType] = None,
         logger=None,
         dtype=jnp.float32,
+        engine=None,
     ):
         super().__init__(logger)
         if model_path is not None or model_type is not None:
@@ -128,14 +129,31 @@ class UltrafastLaneDetectorV2(LaneDetectBase):
                 self.logger.error(msg)
             raise ValueError(msg)
 
+        # extension/injection dispatch (reference swaps TRT/ONNX engines,
+        # ultrafastLaneDetectorV2.py:78-94): .adas = serialized artifact
+        if engine is None and str(self.model_path).endswith(".adas"):
+            from ..engine.artifact import CompiledEngine
+
+            engine = CompiledEngine(self.model_path)
+        self.engine = engine
+
         self.spec = UFLDV2_SPECS[self.model_type]
-        self.net = UFLDv2Net(self.spec, dtype=dtype)
-        self.variables = _load_weights(
-            self.model_path, self.net,
-            (1, self.spec.input_height, self.spec.input_width, 3),
-            version=2, fc_norm=self.spec.fc_norm,
-        )
-        self._step = self._build_step()
+        if engine is None:
+            self.net = UFLDv2Net(self.spec, dtype=dtype)
+            self.variables = _load_weights(
+                self.model_path, self.net,
+                (1, self.spec.input_height, self.spec.input_width, 3),
+                version=2, fc_norm=self.spec.fc_norm,
+            )
+            self._step = self._build_step()
+        else:
+            outs, _ = engine.get_engine_output_shape()
+            if len(outs) != 4:
+                raise ValueError(
+                    "UFLDv2 engine must emit 4 tensors "
+                    "(loc_row/loc_col/exist_row/exist_col), got "
+                    f"{len(outs)}"
+                )
         if self.logger:
             self.logger.info(
                 f"UfldDetectorV2 [{self.model_type.name}] input "
@@ -166,12 +184,32 @@ class UltrafastLaneDetectorV2(LaneDetectBase):
 
     def DetectFrame(self, image: np.ndarray, adjust_lanes: bool = False) -> None:
         h, w = image.shape[:2]
-        step, spec_holder = self._step
-        flat = np.asarray(step(self.variables, jnp.asarray(image)))
-        decoded = unpack(flat, spec_holder["spec"])
+        if self.engine is not None:
+            decoded = self._detect_via_engine(image)
+        else:
+            step, spec_holder = self._step
+            flat = np.asarray(step(self.variables, jnp.asarray(image)))
+            decoded = unpack(flat, spec_holder["spec"])
         self.adjust_lanes = adjust_lanes
         self._assemble(decoded, w, h)
         self._finalize(h)
+
+    def _detect_via_engine(self, image: np.ndarray) -> dict:
+        """Engine-injected path: same device preprocess, engine forward
+        (NCHW boundary), decode on device."""
+        spec = self.spec
+        x = ufld_v2_preprocess(
+            jnp.asarray(image)[None], spec.input_height, spec.input_width,
+            spec.crop_ratio,
+        )
+        outs = self.engine.engine_inference(
+            np.transpose(np.asarray(x), (0, 3, 1, 2))
+        )
+        names = ("loc_row", "loc_col", "exist_row", "exist_col")
+        outputs = {
+            k: jnp.asarray(v, jnp.float32) for k, v in zip(names, outs)
+        }
+        return jax.device_get(ufld_v2_decode(outputs))
 
     def _assemble(self, decoded: dict, img_w: int, img_h: int) -> None:
         """Host-side point-list assembly (reference

@@ -105,3 +105,40 @@ def test_v1_assemble_point_math():
         s.img_h * (s.row_anchor[s.cls_num_per_lane - 1] / s.input_height) - 1
     )
     assert pts[0][1] == want_y
+
+
+def test_lane_detector_engine_injection():
+    """Engine-injected lane path (FakeEngine emitting the 4 decode
+    tensors) matches the native-graph path on the same logits."""
+    import jax
+    import jax.numpy as jnp
+
+    from adas_tpu.engine.xla_engine import FakeEngine
+    from adas_tpu.ops.preprocess import ufld_v2_preprocess
+
+    native = UltrafastLaneDetectorV2(
+        model_path=None, model_type=LaneModelType.UFLDV2_TUSIMPLE
+    )
+    frame = np.random.default_rng(5).integers(
+        0, 255, (240, 480, 3), dtype=np.uint8
+    )
+    native.DetectFrame(frame)
+    expected = [list(map(tuple, p)) for p in native.lane_info.lanes_points]
+
+    # canned engine: replay the native net's outputs for this frame
+    spec = native.spec
+    x = ufld_v2_preprocess(
+        jnp.asarray(frame)[None], spec.input_height, spec.input_width,
+        spec.crop_ratio,
+    )
+    outs = native.net.apply(native.variables, x)
+    engine = FakeEngine(
+        (1, 3, spec.input_height, spec.input_width),
+        {k: np.asarray(v, np.float32) for k, v in outs.items()},
+    )
+    via_engine = UltrafastLaneDetectorV2(
+        model_type=LaneModelType.UFLDV2_TUSIMPLE, engine=engine
+    )
+    via_engine.DetectFrame(frame)
+    got = [list(map(tuple, p)) for p in via_engine.lane_info.lanes_points]
+    assert got == expected
