@@ -264,6 +264,7 @@ class UltrafastLaneDetector(LaneDetectBase):
         model_type: Optional[LaneModelType] = None,
         logger=None,
         dtype=jnp.float32,
+        engine=None,
     ):
         super().__init__(logger)
         if model_path is not None or model_type is not None:
@@ -277,14 +278,27 @@ class UltrafastLaneDetector(LaneDetectBase):
                 self.logger.error(msg)
             raise ValueError(msg)
 
+        if engine is None and str(self.model_path).endswith(".adas"):
+            from ..engine.artifact import CompiledEngine
+
+            engine = CompiledEngine(self.model_path)
+        self.engine = engine
+
         self.spec = UFLDV1_SPECS[self.model_type]
-        self.net = UFLDv1Net(self.spec, dtype=dtype)
-        self.variables = _load_weights(
-            self.model_path, self.net,
-            (1, self.spec.input_height, self.spec.input_width, 3),
-            version=1,
-        )
-        self._step = self._build_step()
+        if engine is None:
+            self.net = UFLDv1Net(self.spec, dtype=dtype)
+            self.variables = _load_weights(
+                self.model_path, self.net,
+                (1, self.spec.input_height, self.spec.input_width, 3),
+                version=1,
+            )
+            self._step = self._build_step()
+        else:
+            outs, _ = engine.get_engine_output_shape()
+            if len(outs) != 1:
+                raise ValueError(
+                    f"UFLD v1 engine must emit 1 tensor, got {len(outs)}"
+                )
 
     def _build_step(self):
         spec, net = self.spec, self.net
@@ -302,7 +316,19 @@ class UltrafastLaneDetector(LaneDetectBase):
 
     def DetectFrame(self, image: np.ndarray, adjust_lanes: bool = False) -> None:
         h, w = image.shape[:2]
-        loc = np.asarray(self._step(self.variables, jnp.asarray(image))[0])
+        if self.engine is not None:
+            spec = self.spec
+            x = ufld_v1_preprocess(
+                jnp.asarray(image)[None], spec.input_height, spec.input_width
+            )
+            logits = self.engine.engine_inference(
+                np.transpose(np.asarray(x), (0, 3, 1, 2))
+            )[0]
+            loc = np.asarray(
+                ufld_v1_decode(jnp.asarray(logits, jnp.float32))[0]
+            )
+        else:
+            loc = np.asarray(self._step(self.variables, jnp.asarray(image))[0])
         self.adjust_lanes = adjust_lanes
         self._assemble(loc, w, h)
         self._finalize(h)
