@@ -175,3 +175,29 @@ def test_yolo_detector_loads_adas_artifact(tmp_path):
     )
     det.DetectFrame(frame)
     assert isinstance(det.object_info, list)
+
+
+def test_detector_loads_int8_weights(tmp_path):
+    import jax
+
+    from adas_tpu.models.yolo import YoloSpec, build_yolo
+    from adas_tpu.perception.object_detector import YoloDetector
+    from adas_tpu.tools.quantize import save_int8
+    from adas_tpu.utils.types import ObjectModelType
+
+    spec = YoloSpec(family="v8", scale="n", num_classes=80,
+                    input_size=(96, 96))
+    net = build_yolo(spec)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3)))
+    path = str(tmp_path / "w_int8.npz")
+    save_int8(path, jax.device_get(variables))
+
+    det = YoloDetector(
+        model_path=path, model_type=ObjectModelType.YOLOV8,
+        input_size=(96, 96), box_score=0.2,
+    )
+    frame = np.random.default_rng(0).integers(
+        0, 255, (72, 96, 3), dtype=np.uint8
+    )
+    det.DetectFrame(frame)
+    assert isinstance(det.object_info, list)
