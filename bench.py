@@ -65,9 +65,9 @@ def main() -> None:
         host_downscale=(360, 640), transport="i420",
     )
 
-    # Warmup / compile.
-    ms.process_batch(batches[0])
-    ms.process_batch(batches[1])
+    # Warmup: compile + settle the transport path.
+    for b in batches:
+        ms.process_batch(b)
 
     def run_window() -> float:
         t0 = time.perf_counter()
@@ -83,8 +83,8 @@ def main() -> None:
             ms.fetch(h, f)
         return time.perf_counter() - t0
 
-    # best of 3 windows: tunnel throughput to the test chip is noisy
-    dt = min(run_window() for _ in range(3))
+    # best of 5 windows: tunnel throughput to the test chip is noisy
+    dt = min(run_window() for _ in range(5))
     fps = N_TICKS * N_STREAMS / dt
     print(
         json.dumps(
