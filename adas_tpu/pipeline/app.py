@@ -261,7 +261,7 @@ def run_video(
     return n
 
 
-if __name__ == "__main__":
+def main() -> None:
     import argparse
 
     ap = argparse.ArgumentParser(description="ADAS demo pipeline")
@@ -275,3 +275,7 @@ if __name__ == "__main__":
         args.input, out, display=args.display, max_frames=args.max_frames
     )
     print(f"wrote {frames} frames to {out}")
+
+
+if __name__ == "__main__":
+    main()
