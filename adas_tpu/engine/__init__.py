@@ -16,13 +16,14 @@ __all__ = [
 
 def __getattr__(name):
     # artifact/registry import jax.export lazily to keep `import adas_tpu`
-    # light
-    if name in ("CompiledEngine", "build_artifact"):
-        from . import artifact
+    # light.  importlib, not `from . import x`: the from-import form calls
+    # hasattr(package, x) first, which re-enters this __getattr__ and
+    # recurses forever.
+    import importlib
 
+    if name in ("CompiledEngine", "build_artifact"):
+        artifact = importlib.import_module(".artifact", __name__)
         return getattr(artifact, name)
     if name == "registry":
-        from . import registry
-
-        return registry
+        return importlib.import_module(".registry", __name__)
     raise AttributeError(name)

@@ -116,7 +116,11 @@ class ADown(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         half = self.features // 2
-        x = nn.avg_pool(x, (2, 2), strides=(1, 1), padding=((0, 1), (0, 1)))
+        # torch F.avg_pool2d(x, 2, 1, 0): unpadded, map shrinks to
+        # (H-1, W-1); the stride-2 conv/maxpool below (torch p=1) restore
+        # H/2 for even H.  Zero-padding here would average in fake border
+        # zeros and diverge from checkpoint training semantics.
+        x = nn.avg_pool(x, (2, 2), strides=(1, 1))
         c = x.shape[-1] // 2
         x1, x2 = x[..., :c], x[..., c:]
         x1 = ConvBN(half, (3, 3), strides=(2, 2), name="cv1")(x1, train)

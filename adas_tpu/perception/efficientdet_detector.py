@@ -62,7 +62,9 @@ class EfficientdetDetector(ObjectDetectBase):
         if str(self.model_path).endswith(".npz"):
             from ..tools.params_io import load_params
 
-            return load_params(self.model_path)
+            # pin to device once — numpy leaves would re-upload the whole
+            # tree on every DetectFrame call (CLAUDE.md bandwidth trap)
+            return jax.device_put(load_params(self.model_path))
         raise ValueError(
             f"Unsupported weights: {self.model_path} (expect .npz or None)"
         )

@@ -18,12 +18,33 @@ from typing import Dict, Tuple
 import numpy as np
 
 
-def load_state_dict(path: str) -> Dict[str, np.ndarray]:
+def load_state_dict(
+    path: str, allow_pickle: bool = False
+) -> Dict[str, np.ndarray]:
     """Read a torch checkpoint file into numpy arrays (strips ``module.``
-    prefixes like reference convertPytorchToONNX.py:80-88)."""
+    prefixes like reference convertPytorchToONNX.py:80-88).
+
+    Tries ``weights_only=True`` first (safe: tensors only).  Full-module
+    checkpoints (e.g. ultralytics exports) need arbitrary unpickling —
+    that executes code from the file, so it is gated behind
+    ``allow_pickle=True`` or ``ADAS_TORCH_UNPICKLE=1``; only enable for
+    trusted files.
+    """
+    import os
+
     import torch
 
-    blob = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        blob = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        if not (allow_pickle or os.environ.get("ADAS_TORCH_UNPICKLE") == "1"):
+            raise ValueError(
+                f"{path} is not a plain-tensor checkpoint; loading it "
+                "requires unpickling arbitrary code. Pass "
+                "allow_pickle=True (or set ADAS_TORCH_UNPICKLE=1) only "
+                "if you trust the file."
+            )
+        blob = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(blob, dict) and "model" in blob:
         blob = blob["model"]
     if hasattr(blob, "state_dict"):
