@@ -179,13 +179,22 @@ def imagenet_preprocess(
     mean: Tuple[float, float, float] = IMAGENET_MEAN,
     std: Tuple[float, float, float] = IMAGENET_STD,
     dtype=jnp.float32,
+    swap_rb: bool = True,
 ) -> jnp.ndarray:
-    """BGR frame -> (letterboxed) RGB, ImageNet-normalized, NHWC."""
+    """BGR frame -> (letterboxed) RGB, ImageNet-normalized, NHWC.
+
+    ``swap_rb=False`` keeps BGR channel order for models trained that way
+    (zylo117 EfficientDet: the reference normalizes BGR with BGR-ordered
+    means, efficientdetDetector.py:58) — pass the matching BGR-ordered
+    ``mean``/``std`` then.
+    """
     img = letterbox(frame_bgr, geom) if geom is not None else frame_bgr
-    rgb = img.astype(jnp.float32)[..., ::-1]
+    img = img.astype(jnp.float32)
+    if swap_rb:
+        img = img[..., ::-1]
     mean = jnp.asarray(mean, jnp.float32) * 255.0
     std = jnp.asarray(std, jnp.float32) * 255.0
-    return ((rgb - mean) / std).astype(dtype)
+    return ((img - mean) / std).astype(dtype)
 
 
 def ufld_v2_preprocess(

@@ -36,23 +36,39 @@ class EfficientdetDetector(ObjectDetectBase):
         "max_det": 100,
     }
 
-    def __init__(self, logger=None, **kwargs):
+    def __init__(self, logger=None, engine=None, **kwargs):
         super().__init__(logger)
         self.__dict__.update(kwargs)
         self._initialize_class(getattr(self, "classes_path", None))
 
-        self.spec = EfficientDetSpec(
-            compound=int(getattr(self, "compound", 0)),
-            num_classes=len(self.class_names),
-        )
-        self.net = EfficientDet(self.spec)
-        self.variables = self._load_weights()
+        # The reference consumes EfficientDet ONLY as an ONNX export with
+        # baked-in postprocess returning (boxes, ids, confs)
+        # (efficientdetDetector.py:38,67-83); a .onnx model_path takes the
+        # graph-executor path for the same contract.  Other paths run the
+        # native flax net.
+        if engine is None and str(self.model_path).endswith(".onnx"):
+            from ..engine.onnx_engine import OnnxGraphEngine
+
+            engine = OnnxGraphEngine(self.model_path)
+        self.engine = engine
+        if engine is not None:
+            self.set_input_details(engine)
+            self.set_output_details(engine)
+        else:
+            self.spec = EfficientDetSpec(
+                compound=int(getattr(self, "compound", 0)),
+                num_classes=len(self.class_names),
+            )
+            self.net = EfficientDet(self.spec)
+            self.variables = self._load_weights()
         self._steps = {}
         if self.logger:
-            self.logger.info(
-                f"EfficientdetDetector [D{self.spec.compound}] input "
-                f"{self.spec.input_size} xla"
+            which = (
+                f"engine {engine.framework_type}"
+                if engine is not None
+                else f"D{self.spec.compound} input {self.spec.input_size}"
             )
+            self.logger.info(f"EfficientdetDetector [{which}] xla")
 
     def _load_weights(self):
         if self.model_path is None:
@@ -93,6 +109,9 @@ class EfficientdetDetector(ObjectDetectBase):
         return step
 
     def DetectFrame(self, srcimg: np.ndarray) -> None:
+        if self.engine is not None:
+            self._detect_via_engine(srcimg)
+            return
         src_shape = srcimg.shape[:2]
         if src_shape not in self._steps:
             self._steps[src_shape] = self._build_step(src_shape)
@@ -100,6 +119,43 @@ class EfficientdetDetector(ObjectDetectBase):
             self._steps[src_shape](self.variables, jnp.asarray(srcimg))
         )
         self._object_info = self._dets_to_rectinfo(dets)
+
+    def _detect_via_engine(self, srcimg: np.ndarray) -> None:
+        """Postprocessed-export path (reference efficientdetDetector.py:
+        58-92): letterbox, BGR ImageNet-normalize (zylo117 models are
+        BGR-trained — the reference's mean tuple is BGR-ordered), run the
+        graph, un-letterbox the already-NMSed boxes, score-filter."""
+        h, w = self.input_shapes[-2:]
+        geom = LetterboxGeometry(srcimg.shape[0], srcimg.shape[1], h, w)
+        x = imagenet_preprocess(
+            jnp.asarray(srcimg)[None], geom,
+            mean=(0.406, 0.456, 0.485), std=(0.225, 0.224, 0.229),
+            swap_rb=False,
+        )
+        outs = self.engine.engine_inference(
+            np.transpose(np.asarray(x), (0, 3, 1, 2))
+        )
+        boxes, ids, confs = (np.asarray(o) for o in outs[:3])
+        boxes = boxes.reshape(-1, 4)
+        ids = ids.reshape(-1).astype(int)
+        confs = confs.reshape(-1)
+        boxes = geom.boxes_to_original(boxes)
+        results = []
+        for bbox, cid, conf in zip(boxes, ids, confs):
+            if conf < float(self.box_score):
+                continue
+            x1, y1, x2, y2 = bbox
+            label = (
+                self.class_names[cid]
+                if 0 <= cid < len(self.class_names)
+                else "unknown"
+            )
+            results.append(
+                RectInfo(
+                    x1, y1, x2 - x1, y2 - y1, conf=float(conf), label=label
+                )
+            )
+        self._object_info = results
 
     def _dets_to_rectinfo(self, dets: np.ndarray) -> List[RectInfo]:
         results = []

@@ -176,6 +176,11 @@ class YoloDetector(ObjectDetectBase):
         "max_det": 100,
         "input_size": (640, 640),
         "compute_dtype": None,  # None=f32; "bf16" runs the graph on the MXU in bf16
+        # .onnx handling: "auto" = ingest weights into the native graph,
+        # falling back to executing the ONNX graph via XLA when the
+        # checkpoint doesn't map (real v6/v7/v5-lite exports);
+        # "graph" = always execute the graph; "ingest" = never fall back
+        "onnx_mode": "auto",
     }
 
     def __init__(self, logger=None, engine=None, **kwargs):
@@ -184,11 +189,19 @@ class YoloDetector(ObjectDetectBase):
         self._initialize_class(getattr(self, "classes_path", None))
 
         # extension dispatch (reference picks TRT vs ONNX by suffix,
-        # yoloDetector.py:74-77): .adas = serialized AOT engine artifact
+        # yoloDetector.py:74-77): .adas = serialized AOT engine artifact,
+        # .onnx = graph execution (reference OnnxEngine parity) unless the
+        # checkpoint ingests into the native graph
+        onnx_mode = getattr(self, "onnx_mode", "auto")
+        is_onnx = str(self.model_path).endswith(".onnx")
         if engine is None and str(self.model_path).endswith(".adas"):
             from ..engine.artifact import CompiledEngine
 
             engine = CompiledEngine(self.model_path)
+        if engine is None and is_onnx and onnx_mode == "graph":
+            from ..engine.onnx_engine import OnnxGraphEngine
+
+            engine = OnnxGraphEngine(self.model_path)
 
         family = _FAMILY_OF[self.model_type]
         scale = getattr(self, "scale", "n")
@@ -200,14 +213,30 @@ class YoloDetector(ObjectDetectBase):
             num_classes=len(self.class_names),
             input_size=tuple(getattr(self, "input_size", (640, 640))),
         )
+        if engine is None:
+            self.net = build_yolo(self.spec)
+            try:
+                self.variables = self._load_weights()
+            except (KeyError, NotImplementedError) as err:
+                # checkpoint doesn't map onto the native graph (e.g. a
+                # real v6 EfficientRep / v7 E-ELAN / v5-lite export):
+                # execute the exported graph itself, like the reference's
+                # OnnxEngine (coreEngine.py:159-186)
+                if not (is_onnx and onnx_mode == "auto"):
+                    raise
+                if self.logger:
+                    self.logger.war(
+                        f"native weight ingest failed ({err}); executing "
+                        "the ONNX graph via XLA instead"
+                    )
+                from ..engine.onnx_engine import OnnxGraphEngine
+
+                engine = OnnxGraphEngine(self.model_path)
+                del self.net
         self.engine = engine
         if engine is not None:
             self.set_input_details(engine)
             self.set_output_details(engine)
-        if engine is None:
-            self.net = build_yolo(self.spec)
-            self.variables = self._load_weights()
-        else:
             n, c, h, w = engine.get_engine_input_shape()
             self.spec = YoloSpec(
                 family=self.spec.family, scale=self.spec.scale,

@@ -157,7 +157,9 @@ def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
             arr = np.asarray(int32_data, dtype=np.int64).astype(dtype)
         else:
             arr = np.zeros(0, dtype=dtype)
-    return name, arr.reshape(dims) if dims else arr
+    # always reshape: an absent dims field means a 0-d (scalar) tensor,
+    # and reshape(()) must apply or scalars leak through as shape (1,)
+    return name, arr.reshape(dims)
 
 
 def read_onnx_initializers(path: str) -> Dict[str, np.ndarray]:
