@@ -10,6 +10,7 @@ device; a single compact (max_det, 6) tensor returns to host.
 """
 from __future__ import annotations
 
+import contextlib
 import os
 import random
 from typing import List, Optional
@@ -18,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..models.layers import quantized
 from ..models.yolo import YoloSpec, build_yolo
 from ..ops.preprocess import LetterboxGeometry, yolo_preprocess
 from ..ops.yolo_decode import (
@@ -175,7 +177,13 @@ class YoloDetector(ObjectDetectBase):
         "scale": "n",
         "max_det": 100,
         "input_size": (640, 640),
-        "compute_dtype": None,  # None=f32; "bf16" runs the graph on the MXU in bf16
+        # None=f32; "bf16" runs the graph on the MXU in bf16; "int8" runs
+        # every ConvBN as W8A8 int8 MXU conv (models/layers.py Int8Conv)
+        "compute_dtype": None,
+        # v10 only: serve the one-to-one head (top-k, no NMS) — the
+        # YOLOv10 design the reference routes through NMS anyway
+        # (yoloDetector.py:114,139); BASELINE config 5 serves it NMS-free
+        "nms_free": False,
         # .onnx handling: "auto" = ingest weights into the native graph,
         # falling back to executing the ONNX graph via XLA when the
         # checkpoint doesn't map (real v6/v7/v5-lite exports);
@@ -252,10 +260,12 @@ class YoloDetector(ObjectDetectBase):
     def _load_weights(self):
         variables = self._load_weights_f32()
         cd = getattr(self, "compute_dtype", None)
-        if cd:
+        if cd in ("bf16", "fp16"):
             from ..tools.quantize import cast_params
 
             variables = cast_params(variables, cd)
+        # "int8" keeps f32 leaves: quantization happens in-graph
+        # (layers.Int8Conv) so the same checkpoint serves every mode
         # pin to device once: host (numpy) leaves would re-upload the
         # whole weight tree on EVERY step call
         return jax.device_put(variables)
@@ -303,17 +313,37 @@ class YoloDetector(ObjectDetectBase):
         iou = float(self.box_nms_iou)
         max_det = int(getattr(self, "max_det", 100))
         net = getattr(self, "net", None)
+        compute_dtype = getattr(self, "compute_dtype", None)
+        nms_free = bool(getattr(self, "nms_free", False))
+        if nms_free and spec.family != "v10":
+            raise ValueError("nms_free serving requires a YOLOv10 model")
 
         in_dtype = (
-            jnp.bfloat16
-            if getattr(self, "compute_dtype", None) == "bf16"
-            else jnp.float32
+            jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32
+        )
+        quant = (
+            quantized("int8")
+            if compute_dtype == "int8"
+            else contextlib.nullcontext()
         )
 
         @jax.jit
         def step(variables, frame_bgr):
             x = yolo_preprocess(frame_bgr[None], geom, dtype=in_dtype)
-            raw = net.apply(variables, x)[0].astype(jnp.float32)
+            if nms_free:
+                # v10 one-to-one head: (1, k, 6) already-selected
+                # detections, no NMS stage at all
+                with quant:
+                    dets = net.apply(
+                        variables, x, method=net.one2one
+                    )[0]
+                dets = dets.astype(jnp.float32)
+                keep = dets[:, 4] >= box_score
+                dets = dets * keep[:, None].astype(jnp.float32)
+                dets = dets[: max_det]
+                return detections_to_original(dets, geom)
+            with quant:
+                raw = net.apply(variables, x)[0].astype(jnp.float32)
             boxes, scores, ids = decode_predictions(
                 raw, self.model_type, spec.num_classes, spec.input_size
             )

@@ -9,6 +9,7 @@ is host-side *per stream*, mirroring the single-stream pipeline.
 """
 from __future__ import annotations
 
+import contextlib
 from typing import List, Optional, Sequence
 
 import jax
@@ -36,16 +37,21 @@ from ..ops.yolo_decode import (
     select_and_nms,
 )
 from ..tracking import BYTETracker
+from ..utils.types import LaneInfo
 
 
 class StreamState:
-    """Host-side temporal state for one video feed."""
+    """Host-side temporal state for one video feed.
+
+    Every holder is per-stream — including ``lane_info``, so consumers
+    can render each stream's lanes and no state bleeds across feeds."""
 
     def __init__(self, frame_size, colors_dict):
         self.tracker = BYTETracker(names=dict(colors_dict))
         self.distance = SingleCamDistanceMeasure()
         self.conditions = TaskConditions()
         self.perspective = PerspectiveTransformation(frame_size)
+        self.lane_info = LaneInfo()
 
 
 class MultiStreamADAS:
@@ -90,19 +96,26 @@ class MultiStreamADAS:
         ynet, lnet = yolo.net, lane.net
         transport = self.transport
         spec_holder = self._spec_holder
+        compute_dtype = getattr(yolo, "compute_dtype", None)
         in_dtype = (
-            jnp.bfloat16
-            if getattr(yolo, "compute_dtype", None) == "bf16"
-            else jnp.float32
+            jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32
         )
 
         def one(yolo_vars, lane_vars, frame_in):
+            from ..models.layers import quantized
+
+            quant = (
+                quantized("int8")
+                if compute_dtype == "int8"
+                else contextlib.nullcontext()
+            )
             if transport == "i420":
                 frame_bgr = i420_to_bgr(frame_in, src_h, src_w)
             else:
                 frame_bgr = frame_in
             x = yolo_preprocess(frame_bgr[None], geom, dtype=in_dtype)
-            raw = ynet.apply(yolo_vars, x)[0].astype(jnp.float32)
+            with quant:
+                raw = ynet.apply(yolo_vars, x)[0].astype(jnp.float32)
             boxes, scores, ids = decode_predictions(
                 raw, model_type, yspec.num_classes, yspec.input_size
             )
@@ -125,6 +138,7 @@ class MultiStreamADAS:
             return flat
 
         batched = jax.vmap(one, in_axes=(None, None, 0))
+        self._batched = batched  # unjitted; compute probe wraps it
 
         if self.mesh is not None:
             in_ndim = 3 if self.transport == "i420" else 4
@@ -146,9 +160,8 @@ class MultiStreamADAS:
 
     # ---- host orchestration ----
 
-    def submit(self, frames: np.ndarray):
-        """frames: (n_streams, H, W, 3) uint8 BGR."""
-        assert frames.shape[0] == self.n_streams
+    def _host_prep(self, frames: np.ndarray) -> np.ndarray:
+        """CPU-side transport prep: optional downscale + I420 encode."""
         if self.host_downscale and self.host_downscale != self.frame_hw:
             import cv2
 
@@ -159,7 +172,12 @@ class MultiStreamADAS:
             ])
         if self.transport == "i420":
             frames = np.stack([bgr_to_i420(f) for f in frames])
-        x = jnp.asarray(frames)
+        return frames
+
+    def submit(self, frames: np.ndarray):
+        """frames: (n_streams, H, W, 3) uint8 BGR."""
+        assert frames.shape[0] == self.n_streams
+        x = jnp.asarray(self._host_prep(frames))
         if self.mesh is not None:
             x = jax.device_put(
                 x, NamedSharding(self.mesh, P("data", *([None] * (x.ndim - 1))))
@@ -168,16 +186,24 @@ class MultiStreamADAS:
 
     def fetch(self, handle, frames: np.ndarray) -> List[dict]:
         """Block and run per-stream host analytics; returns signal dicts."""
-        # Assemble shard-by-shard: one transfer per addressable shard (a
-        # single shard on one real chip).  Also sidesteps a sporadic PJRT
-        # CPU-client abort seen fetching 8-way sharded arrays whole.
+        return self._analytics(self._fetch_flat(handle), frames)
+
+    def _fetch_flat(self, handle) -> np.ndarray:
+        """Device→host transfer of the packed per-stream outputs.
+
+        Assembles shard-by-shard: one transfer per addressable shard (a
+        single shard on one real chip).  Also sidesteps a sporadic PJRT
+        CPU-client abort seen fetching 8-way sharded arrays whole."""
         by_start = {}
         for sh in handle.addressable_shards:
             start = sh.index[0].start or 0 if sh.index else 0
             by_start.setdefault(start, sh)  # dedupe model-axis replicas
-        flat = np.concatenate(
+        return np.concatenate(
             [np.asarray(by_start[k].data) for k in sorted(by_start)], axis=0
         )
+
+    def _analytics(self, flat: np.ndarray, frames: np.ndarray) -> List[dict]:
+        """Host analytics per stream on the fetched packed tensor."""
         per_stream = [
             unpack(flat[i], self._spec_holder["spec"])
             for i in range(self.n_streams)
@@ -191,11 +217,14 @@ class MultiStreamADAS:
             dets[:, [0, 2]] *= sx
             dets[:, [1, 3]] *= sy
             objs = self.yolo._dets_to_rectinfo(dets)
+            # point the (stateless-compute) lane facade at THIS stream's
+            # holder so geometry never bleeds across feeds
+            self.lane.lane_info = stream.lane_info
             self.lane._assemble(
                 lanes_i, self.frame_hw[1], self.frame_hw[0],
             )
             self.lane._finalize(self.frame_hw[0])
-            lane_info = self.lane.lane_info
+            lane_info = stream.lane_info
 
             boxes = [o.tolist(format_type="xyxy") for o in objs]
             scores = [o.conf for o in objs]
@@ -239,9 +268,35 @@ class MultiStreamADAS:
                     "collision": stream.conditions.collision_msg,
                     "offset": stream.conditions.offset_msg,
                     "curvature": stream.conditions.curvature_msg,
+                    # per-stream lane geometry so consumers can render
+                    "lane_info": lane_info,
+                    "lanes_points": lane_info.lanes_points,
+                    "lanes_status": lane_info.lanes_status,
+                    "area_status": lane_info.area_status,
                 }
             )
         return results
+
+    def make_compute_probe(self, iters: int):
+        """A jitted fn ``(yolo_vars, lane_vars, x) -> scalar`` running the
+        fused batched step ``iters`` times chained on device-resident
+        input — ONE dispatch, so tunnel/dispatch latency is excluded and
+        the result measures pure TPU compute throughput.
+
+        The input is perturbed with the loop counter each iteration and
+        the packed output folded into the carry, so XLA can neither hoist
+        the body out of the loop nor dead-code it."""
+        fn = self._batched
+
+        def probe(yolo_vars, lane_vars, x):
+            def body(i, s):
+                xi = x + i.astype(x.dtype)
+                flat = fn(yolo_vars, lane_vars, xi)
+                return s + jnp.sum(flat).astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+        return jax.jit(probe)
 
     def process_batch(self, frames: np.ndarray) -> List[dict]:
         return self.fetch(self.submit(frames), frames)

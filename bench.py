@@ -1,18 +1,29 @@
-"""End-to-end ADAS benchmark (BASELINE.md configs 4+5).
+"""Decision-grade ADAS benchmark (BASELINE.md configs; prints ONE JSON line).
 
-Runs the flagship multi-stream pipeline: N simulated 720p dash-cam feeds
-through ONE batched fused device step per tick (YOLOv8 + UFLDv2-CULane,
-bf16, I420 transport, decode+NMS on device) with the full host analytics
-stack per stream (ByteTrack, FCWS distance, BEV curvature/offset,
-LDWS/LKAS/FCWS state machines).  Ticks are software-pipelined so upload,
-compute and host work overlap.  Prints ONE JSON line:
+Measures three things on the flagship multi-stream pipeline (N simulated
+720p feeds through ONE batched fused device step — YOLOv8 + UFLDv2-CULane
+bf16, I420 transport, decode+NMS on device, full host analytics per
+stream):
 
-    {"metric": "e2e_fps", "value": N, "unit": "frames/s", "vs_baseline": N}
+- ``e2e_fps``      — software-pipelined end-to-end throughput (headline
+                     ``value``; includes host prep, transfers, analytics).
+- ``compute_fps``  — pure TPU compute: the fused step chained ``iters``
+                     times on device-resident input inside one dispatch
+                     (``MultiStreamADAS.make_compute_probe``), so tunnel
+                     bandwidth and per-dispatch latency are excluded.
+                     This is the number a locally-attached chip could
+                     approach end-to-end.
+- ``stages_ms``    — p50/p95 wall-clock per stage of an UNpipelined tick:
+                     host_prep / upload / compute / fetch / host_analytics
+                     (the reference's per-stage timers, demo.py:268-281,
+                     promoted to percentiles).
 
-value = aggregate frames/s across streams; vs_baseline = value / 300
-(the ≥300 FPS north-star from BASELINE.json — the reference publishes no
-numbers of its own).  ADAS_BENCH_STREAMS=1 reproduces the single-stream
-reference-style loop.
+``ADAS_BENCH_FULL=1`` additionally measures BASELINE configs 1-3
+individually (YOLOv5n single-image, UFLDv2 single-frame, YOLOv8l +
+ByteTrack 720p) and reports their p50 latency / fps under ``configs``.
+
+vs_baseline = e2e_fps / 300 (the ≥300 FPS north star from BASELINE.json;
+the reference publishes no numbers of its own).
 """
 from __future__ import annotations
 
@@ -27,7 +38,138 @@ SCALE = os.environ.get("ADAS_BENCH_SCALE", "l")
 N_STREAMS = int(os.environ.get("ADAS_BENCH_STREAMS", "8"))
 N_TICKS = int(os.environ.get("ADAS_BENCH_TICKS", "30"))
 DEPTH = int(os.environ.get("ADAS_BENCH_DEPTH", "3"))
+COMPUTE_ITERS = int(os.environ.get("ADAS_BENCH_COMPUTE_ITERS", "30"))
+FULL = os.environ.get("ADAS_BENCH_FULL", "0") == "1"
 BASELINE_FPS = 300.0
+
+
+def _pipelined_fps(ms, batches) -> float:
+    def run_window() -> float:
+        t0 = time.perf_counter()
+        inflight = deque()
+        for i in range(N_TICKS):
+            frames = batches[i % len(batches)]
+            inflight.append((frames, ms.submit(frames)))
+            if len(inflight) >= DEPTH:
+                f, h = inflight.popleft()
+                ms.fetch(h, f)
+        while inflight:
+            f, h = inflight.popleft()
+            ms.fetch(h, f)
+        return time.perf_counter() - t0
+
+    # best of 5 windows: tunnel throughput to the test chip is noisy
+    dt = min(run_window() for _ in range(5))
+    return N_TICKS * N_STREAMS / dt
+
+
+def _compute_fps(ms, batches) -> float:
+    """Device-resident chained-step throughput (one dispatch)."""
+    import jax
+    import jax.numpy as jnp
+
+    probe = ms.make_compute_probe(COMPUTE_ITERS)
+    x = jnp.asarray(ms._host_prep(batches[0]))
+    yv, lv = ms.yolo.variables, ms.lane.variables
+    jax.block_until_ready(probe(yv, lv, x))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(probe(yv, lv, x))
+        best = min(best, time.perf_counter() - t0)
+    return COMPUTE_ITERS * N_STREAMS / best
+
+
+def _staged(ms, batches, ticks: int = 12) -> dict:
+    """Unpipelined per-stage p50/p95 (upload/compute/fetch split)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adas_tpu.utils.profiling import StageTimers
+
+    timers = StageTimers()
+    for i in range(ticks):
+        frames = batches[i % len(batches)]
+        with timers.stage("host_prep"):
+            prep = ms._host_prep(frames)
+        with timers.stage("upload"):
+            x = jax.block_until_ready(jnp.asarray(prep))
+        with timers.stage("compute"):
+            h = jax.block_until_ready(
+                ms._step(ms.yolo.variables, ms.lane.variables, x)
+            )
+        with timers.stage("fetch"):
+            flat = ms._fetch_flat(h)
+        with timers.stage("host_analytics"):
+            ms._analytics(flat, frames)
+    return {
+        k: {"p50": round(v["p50_ms"], 2), "p95": round(v["p95_ms"], 2)}
+        for k, v in timers.summary().items()
+    }
+
+
+def _latency_config(build_detector, frame, reps: int = 15) -> dict:
+    det = build_detector()
+    det.DetectFrame(frame)  # compile
+    det.DetectFrame(frame)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        det.DetectFrame(frame)
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.percentile(times, 50))
+    return {"p50_ms": round(p50 * 1000, 2), "fps": round(1.0 / p50, 2)}
+
+
+def _full_configs(rng) -> dict:
+    """BASELINE configs 1-3, measured individually."""
+    from adas_tpu.perception.lane_detector import UltrafastLaneDetectorV2
+    from adas_tpu.perception.object_detector import YoloDetector
+    from adas_tpu.tracking import BYTETracker
+    from adas_tpu.utils.types import LaneModelType, ObjectModelType
+
+    out = {}
+    frame640 = rng.integers(0, 255, (640, 640, 3), dtype=np.uint8)
+    frame720 = rng.integers(0, 255, (720, 1280, 3), dtype=np.uint8)
+
+    out["c1_yolov5n_640"] = _latency_config(
+        lambda: YoloDetector(
+            model_path=None, model_type=ObjectModelType.YOLOV5,
+            scale="n", input_size=(640, 640), compute_dtype="bf16",
+        ),
+        frame640,
+    )
+    out["c2_ufldv2_culane"] = _latency_config(
+        lambda: UltrafastLaneDetectorV2(
+            model_path=None, model_type=LaneModelType.UFLDV2_CULANE,
+        ),
+        frame720,
+    )
+
+    det = YoloDetector(
+        model_path=None, model_type=ObjectModelType.YOLOV8, scale="l",
+        input_size=(640, 640), compute_dtype="bf16", box_score=0.25,
+    )
+    tracker = BYTETracker(names=dict(det.colors_dict))
+    det.DetectFrame(frame720)
+    times = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        det.DetectFrame(frame720)
+        objs = det.object_info
+        boxes = [o.tolist(format_type="xyxy") for o in objs]
+        tracker.update(
+            np.asarray(boxes, np.float64).reshape(-1, 4),
+            np.asarray([o.conf for o in objs], np.float64),
+            [o.label for o in objs],
+            frame720,
+        )
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.percentile(times, 50))
+    out["c3_yolov8l_bytetrack_720p"] = {
+        "p50_ms": round(p50 * 1000, 2), "fps": round(1.0 / p50, 2)
+    }
+    return out
 
 
 def main() -> None:
@@ -69,33 +211,21 @@ def main() -> None:
     for b in batches:
         ms.process_batch(b)
 
-    def run_window() -> float:
-        t0 = time.perf_counter()
-        inflight = deque()
-        for i in range(N_TICKS):
-            frames = batches[i % len(batches)]
-            inflight.append((frames, ms.submit(frames)))
-            if len(inflight) >= DEPTH:
-                f, h = inflight.popleft()
-                ms.fetch(h, f)
-        while inflight:
-            f, h = inflight.popleft()
-            ms.fetch(h, f)
-        return time.perf_counter() - t0
-
-    # best of 5 windows: tunnel throughput to the test chip is noisy
-    dt = min(run_window() for _ in range(5))
-    fps = N_TICKS * N_STREAMS / dt
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_fps",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
-            }
-        )
-    )
+    record = {
+        "metric": "e2e_fps",
+        "value": 0.0,
+        "unit": "frames/s",
+        "vs_baseline": 0.0,
+        "streams": N_STREAMS,
+        "compute_fps": round(_compute_fps(ms, batches), 2),
+        "stages_ms": _staged(ms, batches),
+    }
+    fps = _pipelined_fps(ms, batches)
+    record["value"] = round(fps, 2)
+    record["vs_baseline"] = round(fps / BASELINE_FPS, 3)
+    if FULL:
+        record["configs"] = _full_configs(rng)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,160 @@
+"""int8 compute path: Int8Conv semantics, checkpoint compatibility,
+accuracy delta vs f32, and the YOLOv10 NMS-free serving path.
+
+The reference never shipped int8 (its TensorRT calibrator is commented
+out, convertOnnxToTensorRT.py:28-99); BASELINE config 5 calls for int8
+YOLOv10 NMS-free serving, which these tests pin down.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from adas_tpu.models.layers import ConvBN, Int8Conv, quantized
+from adas_tpu.models.yolo import YoloSpec, build_yolo
+from adas_tpu.perception.object_detector import YoloDetector
+from adas_tpu.utils.types import ObjectModelType
+
+
+class TestInt8Conv:
+    def test_matches_dequantized_torch_conv(self, rng):
+        """s8 conv then rescale == f32 conv of the dequantized tensors
+        (distributivity) — torch is the conv oracle."""
+        x = rng.standard_normal((1, 9, 11, 3)).astype(np.float32)
+        conv = Int8Conv(
+            5, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+            use_bias=True,
+        )
+        variables = conv.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        y = np.asarray(conv.apply(variables, jnp.asarray(x)))
+
+        k = np.asarray(variables["params"]["kernel"])
+        b = np.asarray(variables["params"]["bias"])
+        ws = np.abs(k).max(axis=(0, 1, 2), keepdims=True) / 127.0
+        wq = np.clip(np.round(k / ws), -127, 127)
+        xs = np.abs(x).max() / 127.0
+        xq = np.clip(np.round(x / xs), -127, 127)
+        ty = F.conv2d(
+            torch.from_numpy((xq * xs).transpose(0, 3, 1, 2)),
+            torch.from_numpy((wq * ws).transpose(3, 2, 0, 1)),
+            torch.from_numpy(b), stride=2, padding=1,
+        ).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(y, ty, atol=1e-4)
+
+    def test_quantization_error_bounded(self, rng):
+        x = rng.standard_normal((1, 16, 16, 8)).astype(np.float32)
+        conv = Int8Conv(8, (3, 3), padding=((1, 1), (1, 1)))
+        variables = conv.init(jax.random.PRNGKey(1), jnp.asarray(x))
+        yq = np.asarray(conv.apply(variables, jnp.asarray(x)))
+        k = np.asarray(variables["params"]["kernel"])
+        ty = F.conv2d(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            torch.from_numpy(k.transpose(3, 2, 0, 1)), padding=1,
+        ).numpy().transpose(0, 2, 3, 1)
+        rel = np.linalg.norm(yq - ty) / np.linalg.norm(ty)
+        assert rel < 0.02, rel  # W8A8 single conv ~1% error
+
+
+class TestConvBNQuantMode:
+    def test_param_structure_identical(self, rng):
+        """The quantized graph must consume unmodified f32 checkpoints:
+        same param tree either way (kernel lives under 'conv')."""
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 3)), jnp.float32)
+        m = ConvBN(6, (3, 3))
+        v_f32 = m.init(jax.random.PRNGKey(0), x)
+        with quantized("int8"):
+            v_q = m.init(jax.random.PRNGKey(0), x)
+        t1 = jax.tree_util.tree_structure(v_f32)
+        t2 = jax.tree_util.tree_structure(v_q)
+        assert t1 == t2
+
+    def test_quant_scope_is_trace_time(self, rng):
+        """Entering the scope inside a jitted fn bakes the int8 path into
+        that compilation only."""
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 3)), jnp.float32)
+        m = ConvBN(4, (3, 3))
+        v = m.init(jax.random.PRNGKey(0), x)
+
+        @jax.jit
+        def f32_step(v, x):
+            return m.apply(v, x)
+
+        @jax.jit
+        def int8_step(v, x):
+            with quantized("int8"):
+                return m.apply(v, x)
+
+        a = np.asarray(f32_step(v, x))
+        b = np.asarray(int8_step(v, x))
+        assert a.shape == b.shape
+        assert not np.array_equal(a, b)  # int8 path actually differs
+        rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+        assert rel < 0.05
+
+
+class TestYoloInt8:
+    def test_v8_int8_accuracy_delta(self, rng):
+        """Whole-graph int8 vs f32 on a small v8: bounded drift."""
+        spec = YoloSpec(
+            family="v8", scale="n", num_classes=4, input_size=(128, 128)
+        )
+        net = build_yolo(spec)
+        x = jnp.asarray(
+            rng.random((1, 128, 128, 3)), jnp.float32
+        )
+        v = net.init(jax.random.PRNGKey(0), x)
+        raw_f32 = np.asarray(net.apply(v, x))
+        with quantized("int8"):
+            raw_int8 = np.asarray(net.apply(v, x))
+        assert raw_f32.shape == raw_int8.shape
+        rel = np.linalg.norm(raw_int8 - raw_f32) / np.linalg.norm(raw_f32)
+        assert rel < 0.15, rel
+        cos = np.dot(raw_f32.ravel(), raw_int8.ravel()) / (
+            np.linalg.norm(raw_f32) * np.linalg.norm(raw_int8)
+        )
+        assert cos > 0.98, cos
+
+    def test_detector_int8_mode_runs(self, rng):
+        det = YoloDetector(
+            model_path=None, model_type=ObjectModelType.YOLOV8,
+            scale="n", input_size=(128, 128), compute_dtype="int8",
+            box_score=0.3,
+        )
+        frame = rng.integers(0, 255, (240, 320, 3), dtype=np.uint8)
+        det.DetectFrame(np.asarray(frame, np.uint8))
+        assert isinstance(det.object_info, list)
+
+
+class TestV10NmsFree:
+    def test_one2one_serving(self, rng):
+        det = YoloDetector(
+            model_path=None, model_type=ObjectModelType.YOLOV10,
+            scale="n", input_size=(128, 128), nms_free=True,
+            box_score=0.45, max_det=50,
+        )
+        frame = rng.integers(0, 255, (240, 320, 3), dtype=np.uint8)
+        det.DetectFrame(np.asarray(frame, np.uint8))
+        infos = det.object_info
+        assert len(infos) <= 50
+        assert all(i.conf >= 0.45 for i in infos)
+
+    def test_nms_free_requires_v10(self):
+        det = YoloDetector(
+            model_path=None, model_type=ObjectModelType.YOLOV8,
+            scale="n", input_size=(128, 128), nms_free=True,
+        )
+        with pytest.raises(ValueError, match="YOLOv10"):
+            det.DetectFrame(np.zeros((128, 128, 3), np.uint8))
+
+    def test_int8_nms_free_combo(self, rng):
+        """BASELINE config 5's serving mode: int8 + NMS-free v10."""
+        det = YoloDetector(
+            model_path=None, model_type=ObjectModelType.YOLOV10,
+            scale="n", input_size=(128, 128), nms_free=True,
+            compute_dtype="int8", box_score=0.45,
+        )
+        frame = rng.integers(0, 255, (128, 128, 3), dtype=np.uint8)
+        det.DetectFrame(np.asarray(frame, np.uint8))
+        assert isinstance(det.object_info, list)

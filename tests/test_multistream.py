@@ -76,3 +76,37 @@ def test_multistream_fetch_dedupes_replica_shards():
     )
     results = ms.process_batch(frames)
     assert len(results) == 4
+
+
+def test_per_stream_lane_isolation_and_probe():
+    """Each stream owns its lane_info (results include per-stream lane
+    geometry), and the compute probe runs chained steps in one dispatch."""
+    import jax
+
+    yolo = YoloDetector(
+        model_path=None, model_type=ObjectModelType.YOLOV8, scale="n",
+        input_size=(160, 160), box_score=0.25,
+    )
+    lane = UltrafastLaneDetectorV2(
+        model_path=None, model_type=LaneModelType.UFLDV2_TUSIMPLE
+    )
+    n = 2
+    ms = MultiStreamADAS(yolo, lane, n, frame_hw=(180, 320), mesh=None)
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 255, (n, 180, 320, 3), dtype=np.uint8)
+    results = ms.process_batch(frames)
+
+    infos = [r["lane_info"] for r in results]
+    assert infos[0] is not infos[1]
+    assert infos[0] is ms.streams[0].lane_info
+    assert infos[1] is ms.streams[1].lane_info
+    for r in results:
+        assert "lanes_points" in r and "lanes_status" in r
+        assert "area_status" in r
+
+    probe = ms.make_compute_probe(2)
+    x = np.asarray(ms._host_prep(frames))
+    out = jax.block_until_ready(
+        probe(ms.yolo.variables, ms.lane.variables, x)
+    )
+    assert np.isfinite(float(out))
