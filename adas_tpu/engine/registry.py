@@ -72,8 +72,8 @@ def _yolo(family: str, name: str):
 
 
 for _name, _family in (
-    ("YOLOV5", "v5"), ("YOLOV5_LITE", "v5"), ("YOLOV6", "v5"),
-    ("YOLOV7", "v5"), ("YOLOV8", "v8"), ("YOLOV9", "v9"),
+    ("YOLOV5", "v5"), ("YOLOV5_LITE", "v5"), ("YOLOV6", "v6"),
+    ("YOLOV7", "v7"), ("YOLOV8", "v8"), ("YOLOV9", "v9"),
     ("YOLOV10", "v10"),
 ):
     _yolo(_family, _name)

@@ -67,12 +67,14 @@ def _scale_depth(n: int, depth: float) -> int:
 
 @dataclass(frozen=True)
 class YoloSpec:
-    family: str  # "v5" | "v8" | "v10"
+    family: str  # "v5" | "v6" | "v7" | "v8" | "v9" | "v10"
     scale: str = "n"
     num_classes: int = 80
     input_size: Tuple[int, int] = (640, 640)
     strides: Tuple[int, ...] = (8, 16, 32)
     reg_max: int = 16  # DFL bins (v8/v10)
+    #: v10 only: (stage4, pan4, pan5) RepVGGDW flags; None = V10_LK table
+    v10_lk: object = None
 
     @property
     def channels(self) -> Sequence[int]:
@@ -186,20 +188,46 @@ class SCDown(nn.Module):
         )(y, train)
 
 
+class RepVGGDW(nn.Module):
+    """Depthwise re-param block (YOLOv10 large-kernel CIB slot):
+    7×7-dw + 3×3-dw branches (BN, no act) summed, SiLU.  Training form so
+    released checkpoints map 1:1."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        a = ConvBN(
+            self.features, (7, 7), groups=self.features, act=None,
+            name="conv",
+        )(x, train)
+        b = ConvBN(
+            self.features, (3, 3), groups=self.features, act=None,
+            name="conv1",
+        )(x, train)
+        return nn.silu(a + b)
+
+
 class CIB(nn.Module):
-    """Compact inverted block (YOLOv10)."""
+    """Compact inverted block (YOLOv10); ``lk`` swaps the middle dw conv
+    for RepVGGDW (the yaml's large-kernel flag)."""
 
     features: int
     shortcut: bool = True
+    lk: bool = False
 
     @nn.compact
     def __call__(self, x, train=False):
         cin = x.shape[-1]
         y = ConvBN(cin, (3, 3), groups=cin, name="cv0")(x, train)
         y = ConvBN(2 * self.features, (1, 1), name="cv1")(y, train)
-        y = ConvBN(
-            2 * self.features, (3, 3), groups=2 * self.features, name="cv2"
-        )(y, train)
+        if self.lk:
+            y = RepVGGDW(2 * self.features, name="cv2")(y, train)
+        else:
+            y = ConvBN(
+                2 * self.features, (3, 3), groups=2 * self.features,
+                name="cv2",
+            )(y, train)
         y = ConvBN(self.features, (1, 1), name="cv3")(y, train)
         y = ConvBN(
             self.features, (3, 3), groups=self.features, name="cv4"
@@ -213,6 +241,7 @@ class C2fCIB(nn.Module):
     features: int
     n: int = 1
     shortcut: bool = True
+    lk: bool = False
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -221,11 +250,34 @@ class C2fCIB(nn.Module):
         parts = [y[..., :hidden], y[..., hidden:]]
         for i in range(self.n):
             parts.append(
-                CIB(hidden, self.shortcut, name=f"m{i}")(parts[-1], train)
+                CIB(hidden, self.shortcut, lk=self.lk, name=f"m{i}")(
+                    parts[-1], train
+                )
             )
         return ConvBN(self.features, (1, 1), name="cv2")(
             jnp.concatenate(parts, axis=-1), train
         )
+
+
+#: (stage4, pan4, pan5) large-kernel flags per v10 scale, from the
+#: THU-MIG yolov10 yaml family: the dw-7×7 RepVGGDW appears in the
+#: small models (n/s) whose CIBs benefit from kernel size; the wider
+#: m/l/x plans use plain 3×3-dw CIBs.  Override with YoloSpec.v10_lk if
+#: a checkpoint disagrees (the importer raises naming exactly which
+#: block mismatched).
+V10_LK = {
+    "n": (False, False, True),
+    "s": (True, False, True),
+    "m": (False, False, False),
+    "l": (False, False, False),
+    "x": (False, False, False),
+}
+
+
+def v10_lk_flags(spec: "YoloSpec") -> Tuple[bool, bool, bool]:
+    if spec.v10_lk is not None:
+        return spec.v10_lk
+    return V10_LK.get(spec.scale, (False, False, False))
 
 
 class PSA(nn.Module):
@@ -292,9 +344,14 @@ class YoloBackboneNeck(nn.Module):
         p4 = Block(ch[3], d[2], True, name="stage3")(x, train)
         if v10:
             x = SCDown(ch[4], name="down4")(p4, train)
+            lk = v10_lk_flags(s)
             # v10n keeps a plain C2f at stride 32; s and up use C2fCIB
-            S4Block = C2f if s.scale == "n" else C2fCIB
-            x = S4Block(ch[4], d[3], True, name="stage4")(x, train)
+            if s.scale == "n":
+                x = C2f(ch[4], d[3], True, name="stage4")(x, train)
+            else:
+                x = C2fCIB(ch[4], d[3], True, lk=lk[0], name="stage4")(
+                    x, train
+                )
         else:
             x = ConvBN(ch[4], (3, 3), strides=(2, 2), name="down4")(p4, train)
             x = Block(ch[4], d[3], True, name="stage4")(x, train)
@@ -327,13 +384,18 @@ class YoloBackboneNeck(nn.Module):
             y = jnp.concatenate([resize_nearest_2x(t1), p3], axis=-1)
             n3 = C2f(ch[2], d[0], False, name="fpn3")(y, train)
             y = ConvBN(ch[2], (3, 3), strides=(2, 2), name="pan3")(n3, train)
-            NBlock4 = C2fCIB if (v10 and s.scale not in ("n", "s")) else C2f
-            n4 = NBlock4(ch[3], d[0], v10, name="pan4")(
-                jnp.concatenate([y, t1], axis=-1), train
-            )
+            lk = v10_lk_flags(s) if v10 else (False, False, False)
+            if v10 and s.scale not in ("n", "s"):
+                n4 = C2fCIB(ch[3], d[0], v10, lk=lk[1], name="pan4")(
+                    jnp.concatenate([y, t1], axis=-1), train
+                )
+            else:
+                n4 = C2f(ch[3], d[0], v10, name="pan4")(
+                    jnp.concatenate([y, t1], axis=-1), train
+                )
             if v10:
                 y = SCDown(ch[3], name="pan5_down")(n4, train)
-                n5 = C2fCIB(ch[4], d[0], True, name="pan5")(
+                n5 = C2fCIB(ch[4], d[0], True, lk=lk[2], name="pan5")(
                     jnp.concatenate([y, p5], axis=-1), train
                 )
             else:
@@ -544,6 +606,19 @@ class YoloV10(nn.Module):
 def build_yolo(spec: YoloSpec) -> nn.Module:
     if spec.family == "v5":
         return YoloV5(spec)
+    if spec.family == "v6":
+        from .yolov6 import _V6_SCALES, YoloV6
+
+        if spec.scale not in _V6_SCALES:
+            spec = YoloSpec(
+                family="v6", scale="s", num_classes=spec.num_classes,
+                input_size=spec.input_size,
+            )
+        return YoloV6(spec)
+    if spec.family == "v7":
+        from .yolov7 import YoloV7
+
+        return YoloV7(spec)
     if spec.family == "v8":
         return YoloV8(spec)
     if spec.family == "v9":

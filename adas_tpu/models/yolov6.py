@@ -1,0 +1,252 @@
+"""YOLOv6 (meituan EfficientRep) in flax — the real v6 trunk, not the v5
+stand-in previously aliased.
+
+Implements the meituan/YOLOv6 2.x n/s inference topology the reference
+consumes through ONNX exports (ObjectDetector/utils.py:19 enum +
+yoloDetector.py's v5-contract decode — v6 exports emit
+``(1, N, 5+nc)`` with objectness ≡ 1):
+
+* ``RepVGGBlock`` — 3×3 + 1×1 + (identity BN) branches summed, ReLU.
+  Kept in training (unfused) structure so released checkpoints map 1:1;
+  deploy-fused checkpoints carry equivalent single-branch weights and
+  should be ingested after meituan's own fuse step inverts (or via the
+  ONNX graph executor).
+* ``EfficientRep`` backbone — stem + 4 ER blocks (RepVGG downsample +
+  RepBlock), SimSPPF on the last stage.
+* ``RepPANNeck`` — SimConv lateral reductions, ConvTranspose 2×
+  upsampling (meituan's ``Transpose`` layer), RepBlock fusion stages.
+* ``EffiDeHead`` — per-level stem + decoupled cls/reg 3×3 convs + 1×1
+  predictors, anchor-free distance decode (no DFL at n/s).
+
+Scales: n (depth 1/3, width 0.25) and s (1/3, 0.50) — the CSPBep (m/l)
+trunk is a different block family and is served via the ONNX graph
+executor instead.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .layers import ConvBN, max_pool
+from .yolo import YoloSpec, _anchor_points, _scale_channels, _scale_depth
+
+#: base channel plan (backbone 0-4, neck 5-10) and repeat plan, meituan
+#: configs/yolov6n.py
+_V6_CHANNELS = (64, 128, 256, 512, 1024, 256, 128, 128, 256, 256, 512)
+_V6_REPEATS = (1, 6, 12, 18, 6, 12, 12, 12, 12)
+_V6_SCALES = {"n": (1 / 3, 0.25), "s": (1 / 3, 0.50)}
+
+
+def v6_plan(scale: str) -> Tuple[Sequence[int], Sequence[int]]:
+    depth, width = _V6_SCALES[scale]
+    chans = [_scale_channels(c, width, 10_000) for c in _V6_CHANNELS]
+    reps = [
+        r if r == 1 else _scale_depth(r, depth) for r in _V6_REPEATS
+    ]
+    return chans, reps
+
+
+class RepVGGBlock(nn.Module):
+    """3×3(+BN) + 1×1(+BN) + identity-BN branches, summed, ReLU.
+    Identity branch only when in==out and stride 1 (meituan
+    layers/common.py RepVGGBlock, training form)."""
+
+    features: int
+    strides: Tuple[int, int] = (1, 1)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dense = ConvBN(
+            self.features, (3, 3), strides=self.strides, act=None,
+            name="rbr_dense",
+        )(x, train)
+        one = ConvBN(
+            self.features, (1, 1), strides=self.strides, act=None,
+            name="rbr_1x1",
+        )(x, train)
+        out = dense + one
+        if self.strides == (1, 1) and x.shape[-1] == self.features:
+            ident = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                name="rbr_identity",
+            )(x)
+            out = out + ident
+        return nn.relu(out)
+
+
+class RepBlock(nn.Module):
+    """conv1 = RepVGG(in→out) followed by (n-1) RepVGG(out→out)."""
+
+    features: int
+    n: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = RepVGGBlock(self.features, name="conv1")(x, train)
+        for i in range(self.n - 1):
+            x = RepVGGBlock(self.features, name=f"block{i}")(x, train)
+        return x
+
+
+def _relu(x):
+    return nn.relu(x)
+
+
+def SimConv(features, kernel=(1, 1), strides=(1, 1), *, name):
+    """conv + BN + ReLU (meituan's SimConv); ConvBN's conv/bn children
+    mirror the torch ``<name>.conv`` / ``<name>.bn`` layout."""
+    return ConvBN(features, kernel, strides=strides, act=_relu, name=name)
+
+
+class SimSPPF(nn.Module):
+    """SPPF with ReLU convs (meituan SimSPPF, k=5)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = x.shape[-1] // 2
+        y = SimConv(hidden, name="cv1")(x, train)
+        p1 = max_pool(y, 5, 1, pad=2)
+        p2 = max_pool(p1, 5, 1, pad=2)
+        p3 = max_pool(p2, 5, 1, pad=2)
+        return SimConv(self.features, name="cv2")(
+            jnp.concatenate([y, p1, p2, p3], axis=-1), train
+        )
+
+
+class TransposeUp(nn.Module):
+    """meituan ``Transpose``: ConvTranspose2d(k=2, s=2, bias=True)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.ConvTranspose(
+            self.features, (2, 2), strides=(2, 2), padding="VALID",
+            name="upsample_transpose",
+        )(x)
+
+
+class EfficientRep(nn.Module):
+    chans: Sequence[int]
+    reps: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.chans
+        r = self.reps
+        x = RepVGGBlock(c[0], strides=(2, 2), name="stem")(x, train)
+        x = RepVGGBlock(c[1], strides=(2, 2), name="ERBlock_2_0")(x, train)
+        x = RepBlock(c[1], r[1], name="ERBlock_2_1")(x, train)
+        x = RepVGGBlock(c[2], strides=(2, 2), name="ERBlock_3_0")(x, train)
+        p3 = RepBlock(c[2], r[2], name="ERBlock_3_1")(x, train)
+        x = RepVGGBlock(c[3], strides=(2, 2), name="ERBlock_4_0")(p3, train)
+        p4 = RepBlock(c[3], r[3], name="ERBlock_4_1")(x, train)
+        x = RepVGGBlock(c[4], strides=(2, 2), name="ERBlock_5_0")(p4, train)
+        x = RepBlock(c[4], r[4], name="ERBlock_5_1")(x, train)
+        p5 = SimSPPF(c[4], name="ERBlock_5_2")(x, train)
+        return p3, p4, p5
+
+
+class RepPANNeck(nn.Module):
+    chans: Sequence[int]
+    reps: Sequence[int]
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        p3, p4, p5 = feats
+        c = self.chans
+        r = self.reps
+        f0 = SimConv(c[5], name="reduce_layer0")(p5, train)
+        up0 = TransposeUp(c[5], name="upsample0")(f0)
+        x = RepBlock(c[5], r[5], name="Rep_p4")(
+            jnp.concatenate([up0, p4], axis=-1), train
+        )
+        f1 = SimConv(c[6], name="reduce_layer1")(x, train)
+        up1 = TransposeUp(c[6], name="upsample1")(f1)
+        out_p3 = RepBlock(c[6], r[6], name="Rep_p3")(
+            jnp.concatenate([up1, p3], axis=-1), train
+        )
+        d2 = SimConv(c[7], (3, 3), strides=(2, 2), name="downsample2")(
+            out_p3, train
+        )
+        out_n3 = RepBlock(c[8], r[7], name="Rep_n3")(
+            jnp.concatenate([d2, f1], axis=-1), train
+        )
+        d1 = SimConv(c[9], (3, 3), strides=(2, 2), name="downsample1")(
+            out_n3, train
+        )
+        out_n4 = RepBlock(c[10], r[8], name="Rep_n4")(
+            jnp.concatenate([d1, f0], axis=-1), train
+        )
+        return out_p3, out_n3, out_n4
+
+
+def _silu(x):
+    return nn.silu(x)
+
+
+class EffiDeHead(nn.Module):
+    """Decoupled head, anchor-free, no DFL (meituan effidehead n/s):
+    per level stem(1×1) → cls 3×3 conv → cls 1×1 pred;
+                        → reg 3×3 conv → reg 1×1 pred (ltrb distances).
+    Export contract: (B, N, 5+nc) with obj ≡ 1 (meituan Detect.forward
+    deploy branch)."""
+
+    spec: YoloSpec
+    head_chans: Sequence[int]
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        s = self.spec
+        nc = s.num_classes
+        outs = []
+        for li, f in enumerate(feats):
+            ch = self.head_chans[li]
+            stem = ConvBN(ch, (1, 1), act=_silu, name=f"stem{li}")(f, train)
+            cls = ConvBN(ch, (3, 3), act=_silu, name=f"cls_conv{li}")(
+                stem, train
+            )
+            cls = nn.Conv(nc, (1, 1), name=f"cls_pred{li}")(cls)
+            reg = ConvBN(ch, (3, 3), act=_silu, name=f"reg_conv{li}")(
+                stem, train
+            )
+            reg = nn.Conv(4, (1, 1), name=f"reg_pred{li}")(reg)
+            b, h, w, _ = cls.shape
+            outs.append(
+                (
+                    reg.reshape(b, h * w, 4),
+                    jax.nn.sigmoid(cls).reshape(b, h * w, nc),
+                )
+            )
+        reg_flat = jnp.concatenate([o[0] for o in outs], axis=1)
+        cls_flat = jnp.concatenate([o[1] for o in outs], axis=1)
+        anchors, strides_arr = _anchor_points(s.input_size, s.strides)
+        lt, rb = reg_flat[..., :2], reg_flat[..., 2:]
+        x1y1 = anchors - lt
+        x2y2 = anchors + rb
+        cxy = (x1y1 + x2y2) / 2
+        wh = x2y2 - x1y1
+        xywh = jnp.concatenate([cxy, wh], axis=-1) * strides_arr[None, :, None]
+        obj = jnp.ones_like(cls_flat[..., :1])
+        return jnp.concatenate([xywh, obj, cls_flat], axis=-1)
+
+
+class YoloV6(nn.Module):
+    """v5-output-contract YOLOv6: (B, N, 5+nc), decode baked in like the
+    official export (reference decodes it on the v5 path,
+    yoloDetector.py:124-133)."""
+
+    spec: YoloSpec
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        chans, reps = v6_plan(self.spec.scale)
+        feats = EfficientRep(chans, reps, name="backbone")(x, train)
+        feats = RepPANNeck(chans, reps, name="neck")(feats, train)
+        head_chans = (chans[6], chans[8], chans[10])
+        return EffiDeHead(self.spec, head_chans, name="detect")(feats, train)

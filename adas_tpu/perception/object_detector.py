@@ -36,8 +36,8 @@ DEFAULT_CLASSES = os.path.join(
 _FAMILY_OF = {
     ObjectModelType.YOLOV5: "v5",
     ObjectModelType.YOLOV5_LITE: "v5",
-    ObjectModelType.YOLOV6: "v5",  # same output contract as v5/v7
-    ObjectModelType.YOLOV7: "v5",
+    ObjectModelType.YOLOV6: "v6",  # EfficientRep/RepPAN native graph
+    ObjectModelType.YOLOV7: "v7",  # E-ELAN native graph
     ObjectModelType.YOLOV8: "v8",
     ObjectModelType.YOLOV9: "v9",
     ObjectModelType.YOLOV10: "v10",
@@ -215,6 +215,8 @@ class YoloDetector(ObjectDetectBase):
         scale = getattr(self, "scale", "n")
         if family == "v9" and scale not in ("c",):
             scale = "c"  # GELAN-C is the supported v9 variant
+        if family == "v6" and scale not in ("n", "s"):
+            scale = "s"  # CSPBep (m/l) trunks serve via the ONNX executor
         self.spec = YoloSpec(
             family=family,
             scale=scale,

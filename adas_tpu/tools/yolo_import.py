@@ -172,8 +172,241 @@ def yolov5_mapping(spec: YoloSpec) -> List[tuple]:
 
 _SKIP_SUFFIXES = (
     "num_batches_tracked", "anchors", "anchor_grid", "dfl.conv.weight",
-    "stride",
+    "stride", "proj_conv.weight", "proj",
 )
+
+
+# --- YOLOv6 (meituan EfficientRep) ----------------------------------------
+
+
+def _repvgg_entries(src: str, dst: Tuple[str, ...], identity: bool):
+    """meituan RepVGGBlock (training form): rbr_dense/rbr_1x1 conv_bn
+    Sequentials (+ rbr_identity BatchNorm when in==out, stride 1)."""
+    out = _convbn_entries(f"{src}.rbr_dense", dst + ("rbr_dense",))
+    out += _convbn_entries(f"{src}.rbr_1x1", dst + ("rbr_1x1",))
+    if identity:
+        out += [
+            (f"{src}.rbr_identity.weight", "params",
+             dst + ("rbr_identity", "scale"), None),
+            (f"{src}.rbr_identity.bias", "params",
+             dst + ("rbr_identity", "bias"), None),
+            (f"{src}.rbr_identity.running_mean", "batch_stats",
+             dst + ("rbr_identity", "mean"), None),
+            (f"{src}.rbr_identity.running_var", "batch_stats",
+             dst + ("rbr_identity", "var"), None),
+        ]
+    return out
+
+
+def _repblock_entries(
+    src: str, dst: Tuple[str, ...], n: int, conv1_identity: bool
+):
+    """RepBlock = conv1 + block.{0..n-2}; inner blocks are in==out so
+    they always carry the identity BN."""
+    out = _repvgg_entries(f"{src}.conv1", dst + ("conv1",), conv1_identity)
+    for i in range(n - 1):
+        out += _repvgg_entries(f"{src}.block.{i}", dst + (f"block{i}",), True)
+    return out
+
+
+def _deconv(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d (in, out, kh, kw) -> flax (kh, kw, in, out)."""
+    return np.transpose(w, (2, 3, 0, 1))
+
+
+def yolov6_mapping(spec: YoloSpec) -> List[tuple]:
+    """(src, collection, dst, transform) for meituan YOLOv6 2.x n/s
+    training checkpoints (models/yolov6.py graph)."""
+    from ..models.yolov6 import v6_plan
+
+    scale = spec.scale if spec.scale in ("n", "s") else "s"
+    chans, reps = v6_plan(scale)
+    bb = lambda *p: ("backbone",) + p  # noqa: E731
+    nk = lambda *p: ("neck",) + p  # noqa: E731
+    m = []
+    m += _repvgg_entries("backbone.stem", bb("stem"), False)
+    for k, rep_n in ((2, reps[1]), (3, reps[2]), (4, reps[3]), (5, reps[4])):
+        m += _repvgg_entries(
+            f"backbone.ERBlock_{k}.0", bb(f"ERBlock_{k}_0"), False
+        )
+        m += _repblock_entries(
+            f"backbone.ERBlock_{k}.1", bb(f"ERBlock_{k}_1"), rep_n, True
+        )
+    m += _convbn_entries(
+        "backbone.ERBlock_5.2.cv1", bb("ERBlock_5_2", "cv1")
+    )
+    m += _convbn_entries(
+        "backbone.ERBlock_5.2.cv2", bb("ERBlock_5_2", "cv2")
+    )
+
+    m += _convbn_entries("neck.reduce_layer0", nk("reduce_layer0"))
+    m += [
+        ("neck.upsample0.upsample_transpose.weight", "params",
+         nk("upsample0", "upsample_transpose", "kernel"), _deconv),
+        ("neck.upsample0.upsample_transpose.bias", "params",
+         nk("upsample0", "upsample_transpose", "bias"), None),
+    ]
+    # conv1 identity flags follow the channel plan: Rep_p4/Rep_p3 fuse a
+    # concat wider than their output (no identity); Rep_n3/Rep_n4 input
+    # widths equal their outputs by design (identity present)
+    m += _repblock_entries("neck.Rep_p4", nk("Rep_p4"), reps[5], False)
+    m += _convbn_entries("neck.reduce_layer1", nk("reduce_layer1"))
+    m += [
+        ("neck.upsample1.upsample_transpose.weight", "params",
+         nk("upsample1", "upsample_transpose", "kernel"), _deconv),
+        ("neck.upsample1.upsample_transpose.bias", "params",
+         nk("upsample1", "upsample_transpose", "bias"), None),
+    ]
+    m += _repblock_entries("neck.Rep_p3", nk("Rep_p3"), reps[6], False)
+    m += _convbn_entries("neck.downsample2", nk("downsample2"))
+    m += _repblock_entries(
+        "neck.Rep_n3", nk("Rep_n3"), reps[7],
+        chans[7] + chans[6] == chans[8],
+    )
+    m += _convbn_entries("neck.downsample1", nk("downsample1"))
+    m += _repblock_entries(
+        "neck.Rep_n4", nk("Rep_n4"), reps[8],
+        chans[9] + chans[5] == chans[10],
+    )
+
+    for li in range(3):
+        m += _convbn_entries(
+            f"detect.stems.{li}", ("detect", f"stem{li}")
+        )
+        m += _convbn_entries(
+            f"detect.cls_convs.{li}", ("detect", f"cls_conv{li}")
+        )
+        m += _convbn_entries(
+            f"detect.reg_convs.{li}", ("detect", f"reg_conv{li}")
+        )
+        m += _plain_conv_entries(
+            f"detect.cls_preds.{li}", ("detect", f"cls_pred{li}")
+        )
+        m += _plain_conv_entries(
+            f"detect.reg_preds.{li}", ("detect", f"reg_pred{li}")
+        )
+    return m
+
+
+# --- YOLOv7 (WongKinYiu E-ELAN) --------------------------------------------
+
+#: yaml layer indices that are plain Conv modules (cfg/deploy/yolov7.yaml)
+_V7_CONV_IDX = (
+    list(range(0, 10)) + [11] + [13, 14, 15] + list(range(17, 23)) + [24]
+    + [26, 27, 28] + list(range(30, 36)) + [37] + [39, 40, 41]
+    + list(range(43, 49)) + [50]
+    + [52, 54] + list(range(56, 62)) + [63, 64, 66]
+    + list(range(68, 74)) + [75] + [77, 78, 79] + list(range(81, 87))
+    + [88] + [90, 91, 92] + list(range(94, 100)) + [101]
+)
+
+
+def _seq_convbn_entries(src: str, dst: Tuple[str, ...]):
+    """Unnamed Sequential(conv, bn) (v7 RepConv branches)."""
+    return [
+        (f"{src}.0.weight", "params", dst + ("conv", "kernel"), _conv),
+        (f"{src}.1.weight", "params", dst + ("bn", "scale"), None),
+        (f"{src}.1.bias", "params", dst + ("bn", "bias"), None),
+        (f"{src}.1.running_mean", "batch_stats", dst + ("bn", "mean"), None),
+        (f"{src}.1.running_var", "batch_stats", dst + ("bn", "var"), None),
+    ]
+
+
+def _implicit(w: np.ndarray) -> np.ndarray:
+    """(1, C, 1, 1) -> (1, 1, 1, C)."""
+    return np.transpose(w, (0, 2, 3, 1))
+
+
+def yolov7_mapping(spec: YoloSpec) -> List[tuple]:
+    """(src, collection, dst, transform) for official yolov7 (base 640)
+    training checkpoints — module indices mirror cfg/deploy/yolov7.yaml
+    exactly (models/yolov7.py names modules m{i})."""
+    m = []
+    for i in _V7_CONV_IDX:
+        m += _convbn_entries(f"model.{i}", (f"m{i}",))
+    for k in range(1, 8):  # SPPCSPC at 51: cv1..cv7
+        m += _convbn_entries(f"model.51.cv{k}", ("m51", f"cv{k}"))
+    for i in (102, 103, 104):  # RepConv pre-heads
+        m += _seq_convbn_entries(f"model.{i}.rbr_dense", (f"m{i}", "rbr_dense"))
+        m += _seq_convbn_entries(f"model.{i}.rbr_1x1", (f"m{i}", "rbr_1x1"))
+    for li in range(3):  # IDetect at 105
+        m += _plain_conv_entries(f"model.105.m.{li}", (f"head{li}",))
+        m += [
+            (f"model.105.ia.{li}.implicit", "params",
+             (f"ia{li}_implicit",), _implicit),
+            (f"model.105.im.{li}.implicit", "params",
+             (f"im{li}_implicit",), _implicit),
+        ]
+    return m
+
+
+# --- YOLOv9 (ultralytics yolov9c / GELAN-C) --------------------------------
+
+
+def _repconvn_entries(src: str, dst: Tuple[str, ...]):
+    return _convbn_entries(f"{src}.conv1", dst + ("conv1",)) + \
+        _convbn_entries(f"{src}.conv2", dst + ("conv2",))
+
+
+def _repncsp_entries(src: str, dst: Tuple[str, ...], n: int):
+    out = _convbn_entries(f"{src}.cv1", dst + ("cv1",))
+    out += _convbn_entries(f"{src}.cv2", dst + ("cv2",))
+    out += _convbn_entries(f"{src}.cv3", dst + ("cv3",))
+    for i in range(n):
+        out += _repconvn_entries(f"{src}.m.{i}.cv1", dst + (f"m{i}", "cv1"))
+        out += _convbn_entries(f"{src}.m.{i}.cv2", dst + (f"m{i}", "cv2"))
+    return out
+
+
+def _repncspelan_entries(src: str, dst: str, n: int):
+    out = _convbn_entries(f"{src}.cv1", (dst, "cv1"))
+    out += _repncsp_entries(f"{src}.cv2.0", (dst, "cv2_csp"), n)
+    out += _convbn_entries(f"{src}.cv2.1", (dst, "cv2_conv"))
+    out += _repncsp_entries(f"{src}.cv3.0", (dst, "cv3_csp"), n)
+    out += _convbn_entries(f"{src}.cv3.1", (dst, "cv3_conv"))
+    out += _convbn_entries(f"{src}.cv4", (dst, "cv4"))
+    return out
+
+
+def _adown_entries(src: str, dst: str):
+    return _convbn_entries(f"{src}.cv1", (dst, "cv1")) + _convbn_entries(
+        f"{src}.cv2", (dst, "cv2")
+    )
+
+
+def yolov9_mapping(spec: YoloSpec) -> List[tuple]:
+    """(src, collection, dst, transform) for ultralytics yolov9c
+    checkpoints (GELAN-C trunk, models/yolov9.py graph)."""
+    m = []
+    m += _convbn_entries("model.0", ("stem",))
+    m += _convbn_entries("model.1", ("down1",))
+    m += _repncspelan_entries("model.2", "stage1", 1)
+    m += _adown_entries("model.3", "down2")
+    m += _repncspelan_entries("model.4", "stage2", 1)
+    m += _adown_entries("model.5", "down3")
+    m += _repncspelan_entries("model.6", "stage3", 1)
+    m += _adown_entries("model.7", "down4")
+    m += _repncspelan_entries("model.8", "stage4", 1)
+    m += _convbn_entries("model.9.cv1", ("sppelan", "cv1"))
+    m += _convbn_entries("model.9.cv5", ("sppelan", "cv5"))
+    m += _repncspelan_entries("model.12", "fpn4", 1)
+    m += _repncspelan_entries("model.15", "fpn3", 1)
+    m += _adown_entries("model.16", "pan3")
+    m += _repncspelan_entries("model.18", "pan4", 1)
+    m += _adown_entries("model.19", "pan5_down")
+    m += _repncspelan_entries("model.21", "pan5", 1)
+    for li in range(3):
+        m += _convbn_entries(f"model.22.cv2.{li}.0", ("head", f"box{li}_0"))
+        m += _convbn_entries(f"model.22.cv2.{li}.1", ("head", f"box{li}_1"))
+        m += _plain_conv_entries(
+            f"model.22.cv2.{li}.2", ("head", f"box{li}_2")
+        )
+        m += _convbn_entries(f"model.22.cv3.{li}.0", ("head", f"cls{li}_0"))
+        m += _convbn_entries(f"model.22.cv3.{li}.1", ("head", f"cls{li}_1"))
+        m += _plain_conv_entries(
+            f"model.22.cv3.{li}.2", ("head", f"cls{li}_2")
+        )
+    return m
 
 
 def yolo_variables(
@@ -188,6 +421,12 @@ def yolo_variables(
         mapping = yolov8_mapping(spec)
     elif spec.family == "v5":
         mapping = yolov5_mapping(spec)
+    elif spec.family == "v6":
+        mapping = yolov6_mapping(spec)
+    elif spec.family == "v7":
+        mapping = yolov7_mapping(spec)
+    elif spec.family == "v9":
+        mapping = yolov9_mapping(spec)
     elif spec.family == "v10":
         mapping = yolov10_mapping(spec)
     else:
@@ -233,19 +472,29 @@ def _scdown_entries(src: str, dst: Tuple[str, ...]):
     )
 
 
-def _cib_entries(src: str, dst: Tuple[str, ...]):
-    """CIB = 5-conv inverted block; ultralytics nests them under cv1.{j}."""
+def _cib_entries(src: str, dst: Tuple[str, ...], lk: bool = False):
+    """CIB = 5-conv inverted block; ultralytics nests them under cv1.{j}.
+    With ``lk`` the middle slot is RepVGGDW (conv=7×7-dw, conv1=3×3-dw,
+    each a Conv(act=False) with conv/bn children)."""
     out = []
     for j in range(5):
-        out += _convbn_entries(f"{src}.cv1.{j}", dst + (f"cv{j}",))
+        if j == 2 and lk:
+            out += _convbn_entries(
+                f"{src}.cv1.2.conv", dst + ("cv2", "conv")
+            )
+            out += _convbn_entries(
+                f"{src}.cv1.2.conv1", dst + ("cv2", "conv1")
+            )
+        else:
+            out += _convbn_entries(f"{src}.cv1.{j}", dst + (f"cv{j}",))
     return out
 
 
-def _c2fcib_entries(src: str, dst: str, n: int):
+def _c2fcib_entries(src: str, dst: str, n: int, lk: bool = False):
     out = _convbn_entries(f"{src}.cv1", (dst, "cv1"))
     out += _convbn_entries(f"{src}.cv2", (dst, "cv2"))
     for i in range(n):
-        out += _cib_entries(f"{src}.m.{i}", (dst, f"m{i}"))
+        out += _cib_entries(f"{src}.m.{i}", (dst, f"m{i}"), lk=lk)
     return out
 
 
@@ -274,16 +523,14 @@ def _v10_cls_entries(src: str, head: str, suffix: str, li: int):
 
 
 def yolov10_mapping(spec: YoloSpec) -> List[tuple]:
-    """(src, collection, dst, transform) table for YOLOv10 n/s.
+    """(src, collection, dst, transform) table for YOLOv10, all scales.
 
-    Larger scales use RepVGGDW inside CIB and C2fCIB in the FPN, which
-    this table does not cover yet.
-    """
-    if spec.scale not in ("n", "s"):
-        raise NotImplementedError(
-            "v10 checkpoint mapping covers scales n/s (larger scales use "
-            "RepVGGDW blocks not yet modeled)"
-        )
+    RepVGGDW placement follows models/yolo.py's V10_LK table (override
+    via ``YoloSpec.v10_lk`` when a checkpoint disagrees — the leftover/
+    missing-tensor errors below name the exact block)."""
+    from ..models.yolo import v10_lk_flags
+
+    lk = v10_lk_flags(spec)
     d = spec.depths
     m = []
     net = lambda *p: ("net",) + p  # noqa: E731
@@ -298,15 +545,18 @@ def yolov10_mapping(spec: YoloSpec) -> List[tuple]:
     if spec.scale == "n":
         m += [(s, c, net(*p), t) for s, c, p, t in _c2f_entries("model.8", "stage4", d[3])]
     else:
-        m += [(s, c, net(*p), t) for s, c, p, t in _c2fcib_entries("model.8", "stage4", d[3])]
+        m += [(s, c, net(*p), t) for s, c, p, t in _c2fcib_entries("model.8", "stage4", d[3], lk=lk[0])]
     m += [(s, c, net(*p), t) for s, c, p, t in _sppf_entries("model.9", "sppf")]
     m += _psa_entries("model.10", net("psa"))
     m += [(s, c, net(*p), t) for s, c, p, t in _c2f_entries("model.13", "fpn4", d[0])]
     m += [(s, c, net(*p), t) for s, c, p, t in _c2f_entries("model.16", "fpn3", d[0])]
     m += _convbn_entries("model.17", net("pan3"))
-    m += [(s, c, net(*p), t) for s, c, p, t in _c2f_entries("model.19", "pan4", d[0])]
+    if spec.scale in ("n", "s"):
+        m += [(s, c, net(*p), t) for s, c, p, t in _c2f_entries("model.19", "pan4", d[0])]
+    else:
+        m += [(s, c, net(*p), t) for s, c, p, t in _c2fcib_entries("model.19", "pan4", d[0], lk=lk[1])]
     m += _scdown_entries("model.20", net("pan5_down"))
-    m += [(s, c, net(*p), t) for s, c, p, t in _c2fcib_entries("model.22", "pan5", d[0])]
+    m += [(s, c, net(*p), t) for s, c, p, t in _c2fcib_entries("model.22", "pan5", d[0], lk=lk[2])]
     for li in range(3):
         for src_head, head, suffix in (
             ("model.23.cv2", "head_o2m", "m"),

@@ -193,3 +193,27 @@ def test_yolov9_gelan_graph():
     )
     det.DetectFrame(frame)
     assert isinstance(det.object_info, list)
+
+
+def test_v6_v7_native_facades(rng):
+    """YOLOV6/YOLOV7 now build their real native graphs (EfficientRep /
+    E-ELAN), not the v5 stand-in."""
+    from adas_tpu.models.yolov6 import YoloV6
+    from adas_tpu.models.yolov7 import YoloV7
+
+    frame = rng.integers(0, 255, size=(120, 160, 3)).astype("uint8")
+    d6 = YoloDetector(
+        model_path=None, model_type=ObjectModelType.YOLOV6, scale="n",
+        input_size=(64, 64), box_score=0.3,
+    )
+    assert isinstance(d6.net, YoloV6)
+    d6.DetectFrame(frame)
+    assert isinstance(d6.object_info, list)
+
+    d7 = YoloDetector(
+        model_path=None, model_type=ObjectModelType.YOLOV7,
+        input_size=(64, 64), box_score=0.3,
+    )
+    assert isinstance(d7.net, YoloV7)
+    d7.DetectFrame(frame)
+    assert isinstance(d7.object_info, list)

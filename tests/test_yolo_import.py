@@ -18,7 +18,10 @@ from adas_tpu.models.yolo import YoloSpec, build_yolo
 from adas_tpu.tools.yolo_import import (
     yolo_variables,
     yolov5_mapping,
+    yolov6_mapping,
+    yolov7_mapping,
     yolov8_mapping,
+    yolov9_mapping,
     yolov10_mapping,
 )
 
@@ -36,14 +39,23 @@ def _flatten(tree, prefix=()):
 def _inverse_transform(dst_path, value):
     """Undo the flax-side layout to synthesize a torch-shaped tensor."""
     if dst_path[-1] == "kernel":
+        if "upsample_transpose" in dst_path:  # flax (kh,kw,in,out) -> torch (in,out,kh,kw)
+            return np.transpose(value, (2, 3, 0, 1))
         if value.ndim == 4:  # HWIO -> OIHW
             return np.transpose(value, (3, 2, 0, 1))
         return value.T
+    if dst_path[-1].endswith("_implicit"):  # (1,1,1,C) -> (1,C,1,1)
+        return np.transpose(value, (0, 3, 1, 2))
     return value
 
 
 @pytest.mark.parametrize(
-    "family,scale", [("v8", "n"), ("v5", "n"), ("v10", "n"), ("v10", "s")]
+    "family,scale",
+    [
+        ("v8", "n"), ("v5", "n"), ("v10", "n"), ("v10", "s"),
+        ("v10", "m"), ("v10", "x"),
+        ("v6", "n"), ("v6", "s"), ("v7", "l"), ("v9", "c"),
+    ],
 )
 def test_mapping_covers_full_tree_and_roundtrips(family, scale):
     spec = YoloSpec(
@@ -60,6 +72,7 @@ def test_mapping_covers_full_tree_and_roundtrips(family, scale):
 
     mapping = {
         "v8": yolov8_mapping, "v5": yolov5_mapping, "v10": yolov10_mapping,
+        "v6": yolov6_mapping, "v7": yolov7_mapping, "v9": yolov9_mapping,
     }[family](spec)
     flat_ref = {
         coll: _flatten(ref[coll]) for coll in ("params", "batch_stats")
@@ -85,6 +98,9 @@ def test_mapping_covers_full_tree_and_roundtrips(family, scale):
         "v8": "model.22.dfl.conv.weight",
         "v5": "model.24.anchors",
         "v10": "model.23.dfl.conv.weight",
+        "v6": "detect.proj",
+        "v7": "model.105.anchors",
+        "v9": "model.22.dfl.conv.weight",
     }[family]
     state[buffer_key] = rng.normal(size=(3,)).astype(np.float32)
     # skipped buffers must be tolerated
