@@ -110,7 +110,15 @@ def _ufld(name: str):
         lane_type = LaneModelType[name]
         if "V2" in name:
             spec = UFLDV2_SPECS[lane_type]
-            net = UFLDv2Net(spec)
+            if name == "UFLDV2_CURVELANES":
+                # 20-lane-token conv head (model_curvelanes.py:34-75) —
+                # buildable/exportable; the runtime facade still rejects
+                # CURVELANES for parity with the reference
+                from ..models.ufld import UFLDv2CurveLanesNet
+
+                net = UFLDv2CurveLanesNet(spec)
+            else:
+                net = UFLDv2Net(spec)
         else:
             spec = UFLDV1_SPECS[lane_type]
             net = UFLDv1Net(spec)

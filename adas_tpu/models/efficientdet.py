@@ -3,20 +3,23 @@
 The reference runs EfficientDet only through a pre-exported ONNX model
 whose graph already contains decode+NMS and returns an already-NMSed
 (boxes, ids, confs) triple (ObjectDetector/efficientdetDetector.py:67-83).
-Here the network is native: EfficientNet-B{0..2} MBConv trunk, fast-
-normalized-fusion BiFPN, class/box heads with per-level BatchNorm —
-architecture per the public EfficientDet paper/implementation — and decode
-+ fixed-shape NMS run on device in the same jitted step (ops/nms.py), so
-the engine artifact is one XLA graph like the YOLO path.
+Those exports come from the zylo117 Yet-Another-EfficientDet-Pytorch
+weights, so this native graph mirrors that implementation *exactly* —
+TF-style SAME padding everywhere (stride-2 convs/pools pad bottom/right),
+a first BiFPN layer with its own channel-reduction laterals (including
+the separate ``*_down_channel_2`` skip laterals), fast-attention fusion
+weights, separable convs with always-biased pointwise stage, and heads
+with shared convs but per-level BatchNorm lists — so released
+checkpoints ingest 1:1 (tools/efficientdet_import.py).
 
 NHWC everywhere; anchors are static per input size (computed at trace
-time).
+time); decode + fixed-shape NMS run in the same jitted step as the net.
 """
 from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import List
+from typing import List, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -53,20 +56,44 @@ def _round_repeats(r: int, depth: float) -> int:
     return int(math.ceil(r * depth))
 
 
-class SqueezeExcite(nn.Module):
-    reduced: int
-    dtype: object = jnp.float32
+def mbconv_plan(width: float, depth: float) -> List[tuple]:
+    """Flat (expand, kernel, stride, channels) list — the lukemelas /
+    zylo117 ``_blocks.{i}`` indexing the checkpoints use."""
+    plan = []
+    for expand, k, s, c, r in _MBCONV_STAGES:
+        c = _round_channels(c, width)
+        for bi in range(_round_repeats(r, depth)):
+            plan.append((expand, k, s if bi == 0 else 1, c))
+    return plan
 
-    @nn.compact
-    def __call__(self, x):
-        s = jnp.mean(x, axis=(1, 2), keepdims=True)
-        s = nn.Conv(self.reduced, (1, 1), dtype=self.dtype, name="reduce")(s)
-        s = nn.silu(s)
-        s = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, name="expand")(s)
-        return x * nn.sigmoid(s)
+
+def _bn(train: bool, name: str, dtype=jnp.float32):
+    # torch momentum 0.01 == flax momentum 0.99; eps 1e-3 (lukemelas)
+    return nn.BatchNorm(
+        use_running_average=not train, momentum=0.99, epsilon=1e-3,
+        dtype=dtype, name=name,
+    )
+
+
+def _same_pool(x, window: int = 3, stride: int = 2):
+    """TF-SAME max pool (zylo117 MaxPool2dStaticSamePadding)."""
+    h, w = x.shape[-3], x.shape[-2]
+
+    def pad_for(size):
+        out = -(-size // stride)
+        total = max((out - 1) * stride + window - size, 0)
+        return (total // 2, total - total // 2)
+
+    return nn.max_pool(
+        x, (window, window), strides=(stride, stride),
+        padding=(pad_for(h), pad_for(w)),
+    )
 
 
 class MBConv(nn.Module):
+    """lukemelas MBConvBlock (zylo117 backbone unit): SAME padding,
+    swish, SE, drop-connect omitted at inference."""
+
     features: int
     expand: int
     kernel: int
@@ -83,42 +110,41 @@ class MBConv(nn.Module):
                 inp * self.expand, (1, 1), use_bias=False,
                 dtype=self.dtype, name="expand_conv",
             )(h)
-            h = nn.BatchNorm(
-                use_running_average=not train, momentum=0.99, epsilon=1e-3,
-                dtype=self.dtype, name="expand_bn",
-            )(h)
+            h = _bn(train, "bn0", self.dtype)(h)
             h = nn.silu(h)
-        p = self.kernel // 2
         h = nn.Conv(
             h.shape[-1], (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding=((p, p), (p, p)),
+            padding="SAME",
             feature_group_count=h.shape[-1],
             use_bias=False, dtype=self.dtype, name="dw_conv",
         )(h)
-        h = nn.BatchNorm(
-            use_running_average=not train, momentum=0.99, epsilon=1e-3,
-            dtype=self.dtype, name="dw_bn",
-        )(h)
+        h = _bn(train, "bn1", self.dtype)(h)
         h = nn.silu(h)
-        h = SqueezeExcite(
-            max(1, int(inp * self.se_ratio)), dtype=self.dtype, name="se"
-        )(h)
+        # squeeze-excite (reduce/expand 1x1 convs with bias)
+        s = jnp.mean(h, axis=(1, 2), keepdims=True)
+        s = nn.Conv(
+            max(1, int(inp * self.se_ratio)), (1, 1), dtype=self.dtype,
+            name="se_reduce",
+        )(s)
+        s = nn.silu(s)
+        s = nn.Conv(h.shape[-1], (1, 1), dtype=self.dtype, name="se_expand")(
+            s
+        )
+        h = h * nn.sigmoid(s)
         h = nn.Conv(
             self.features, (1, 1), use_bias=False,
             dtype=self.dtype, name="project_conv",
         )(h)
-        h = nn.BatchNorm(
-            use_running_average=not train, momentum=0.99, epsilon=1e-3,
-            dtype=self.dtype, name="project_bn",
-        )(h)
+        h = _bn(train, "bn2", self.dtype)(h)
         if self.stride == 1 and inp == self.features:
             h = h + x
         return h
 
 
 class EfficientNetFeatures(nn.Module):
-    """EfficientNet trunk returning (C3, C4, C5) at strides 8/16/32."""
+    """EfficientNet trunk returning (C3, C4, C5) at strides 8/16/32.
+    Blocks are named flat (``block{i}``) to mirror checkpoint indexing."""
 
     width: float = 1.0
     depth: float = 1.0
@@ -128,31 +154,29 @@ class EfficientNetFeatures(nn.Module):
     def __call__(self, x, train: bool = False):
         h = nn.Conv(
             _round_channels(32, self.width), (3, 3), strides=(2, 2),
-            padding=((1, 1), (1, 1)), use_bias=False,
+            padding="SAME", use_bias=False,
             dtype=self.dtype, name="stem_conv",
         )(x)
-        h = nn.BatchNorm(
-            use_running_average=not train, momentum=0.99, epsilon=1e-3,
-            dtype=self.dtype, name="stem_bn",
-        )(h)
+        h = _bn(train, "stem_bn", self.dtype)(h)
         h = nn.silu(h)
 
+        plan = mbconv_plan(self.width, self.depth)
         feats = []
-        for si, (expand, k, s, c, r) in enumerate(_MBCONV_STAGES):
-            c = _round_channels(c, self.width)
-            r = _round_repeats(r, self.depth)
-            for bi in range(r):
-                h = MBConv(
-                    c, expand, k, s if bi == 0 else 1,
-                    dtype=self.dtype, name=f"stage{si}_block{bi}",
-                )(h, train=train)
-            if si in (2, 4, 6):  # strides 8, 16, 32
+        for i, (expand, k, s, c) in enumerate(plan):
+            # a feature map is tapped just before each stride-2 block at
+            # strides 16/32 and at the very end — i.e. C3, C4, C5
+            if s == 2 and h.shape[-3] * 2 <= x.shape[-3] // 4:
                 feats.append(h)
-        return tuple(feats)
+            h = MBConv(
+                c, expand, k, s, dtype=self.dtype, name=f"block{i}"
+            )(h, train=train)
+        feats.append(h)
+        return tuple(feats[-3:])
 
 
-class SeparableConvBN(nn.Module):
-    """Depthwise 3x3 + pointwise 1x1 (+BN); the BiFPN/head conv cell."""
+class SeparableConvBlock(nn.Module):
+    """zylo117 SeparableConvBlock: dw 3×3 (no bias, SAME) + pw 1×1
+    (ALWAYS biased — the checkpoints carry the bias even under BN) + BN."""
 
     features: int
     use_bn: bool = True
@@ -161,40 +185,39 @@ class SeparableConvBN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = nn.Conv(
-            x.shape[-1], (3, 3), padding=((1, 1), (1, 1)),
+            x.shape[-1], (3, 3), padding="SAME",
             feature_group_count=x.shape[-1], use_bias=False,
             dtype=self.dtype, name="dw",
         )(x)
         h = nn.Conv(
-            self.features, (1, 1), use_bias=not self.use_bn,
+            self.features, (1, 1), use_bias=True,
             dtype=self.dtype, name="pw",
         )(h)
         if self.use_bn:
-            h = nn.BatchNorm(
-                use_running_average=not train, momentum=0.99, epsilon=1e-3,
-                dtype=self.dtype, name="bn",
-            )(h)
+            h = _bn(train, "bn", self.dtype)(h)
         return h
 
 
-def _fuse(name_scope, inputs: List[jnp.ndarray], module) -> jnp.ndarray:
-    """Fast normalized fusion: softmax-free positive weighted sum."""
-    w = module.param(
-        name_scope, nn.initializers.ones, (len(inputs),), jnp.float32
-    )
-    w = nn.relu(w)
-    w = w / (jnp.sum(w) + 1e-4)
-    return sum(wi * xi for wi, xi in zip(w, inputs))
+class _DownChannel(nn.Module):
+    """1×1 conv + BN lateral (zylo117 ``*_down_channel`` Sequential)."""
+
+    features: int
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="conv")(x)
+        return _bn(train, "bn", self.dtype)(h)
 
 
 class BiFPNLayer(nn.Module):
-    channels: int
-    dtype: object = jnp.float32
+    """One zylo117 BiFPN layer.  ``first_time`` layers own the channel
+    reduction laterals (including the separate `_2` skip laterals for the
+    bottom-up fusion) and build P6/P7 from C5."""
 
-    def _down(self, x):
-        return nn.max_pool(
-            x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
-        )
+    channels: int
+    first_time: bool = False
+    dtype: object = jnp.float32
 
     @staticmethod
     def _up(x):
@@ -202,51 +225,87 @@ class BiFPNLayer(nn.Module):
         x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
         return x.reshape(b, h * 2, w * 2, c)
 
+    def _fuse(self, name, inputs):
+        w = self.param(
+            name, nn.initializers.ones, (len(inputs),), jnp.float32
+        )
+        w = nn.relu(w)
+        w = w / (jnp.sum(w) + 1e-4)
+        return nn.silu(sum(wi * xi for wi, xi in zip(w, inputs)))
+
     @nn.compact
     def __call__(self, feats, train: bool = False):
-        p3, p4, p5, p6, p7 = feats
+        ch = self.channels
+        if self.first_time:
+            c3, c4, c5 = feats
+            p3_in = _DownChannel(ch, self.dtype, name="p3_down_channel")(
+                c3, train
+            )
+            p4_in = _DownChannel(ch, self.dtype, name="p4_down_channel")(
+                c4, train
+            )
+            p5_in = _DownChannel(ch, self.dtype, name="p5_down_channel")(
+                c5, train
+            )
+            p6_in = _same_pool(
+                _DownChannel(ch, self.dtype, name="p5_to_p6")(c5, train)
+            )
+            p7_in = _same_pool(p6_in)
+            # separate laterals for the bottom-up skip connections
+            p4_in_2 = _DownChannel(
+                ch, self.dtype, name="p4_down_channel_2"
+            )(c4, train)
+            p5_in_2 = _DownChannel(
+                ch, self.dtype, name="p5_down_channel_2"
+            )(c5, train)
+        else:
+            p3_in, p4_in, p5_in, p6_in, p7_in = feats
+            p4_in_2, p5_in_2 = p4_in, p5_in
 
-        # top-down pathway
-        p6_td = SeparableConvBN(self.channels, dtype=self.dtype, name="td6")(
-            nn.silu(_fuse("w_td6", [p6, self._up(p7)], self)), train=train
+        sep = lambda name: SeparableConvBlock(  # noqa: E731
+            ch, dtype=self.dtype, name=name
         )
-        p5_td = SeparableConvBN(self.channels, dtype=self.dtype, name="td5")(
-            nn.silu(_fuse("w_td5", [p5, self._up(p6_td)], self)), train=train
+        # top-down
+        p6_td = sep("conv6_up")(
+            self._fuse("p6_w1", [p6_in, self._up(p7_in)]), train
         )
-        p4_td = SeparableConvBN(self.channels, dtype=self.dtype, name="td4")(
-            nn.silu(_fuse("w_td4", [p4, self._up(p5_td)], self)), train=train
+        p5_td = sep("conv5_up")(
+            self._fuse("p5_w1", [p5_in, self._up(p6_td)]), train
         )
-        p3_out = SeparableConvBN(self.channels, dtype=self.dtype, name="out3")(
-            nn.silu(_fuse("w_out3", [p3, self._up(p4_td)], self)), train=train
+        p4_td = sep("conv4_up")(
+            self._fuse("p4_w1", [p4_in, self._up(p5_td)]), train
         )
-        # bottom-up pathway
-        p4_out = SeparableConvBN(self.channels, dtype=self.dtype, name="out4")(
-            nn.silu(
-                _fuse("w_out4", [p4, p4_td, self._down(p3_out)], self)
+        p3_out = sep("conv3_up")(
+            self._fuse("p3_w1", [p3_in, self._up(p4_td)]), train
+        )
+        # bottom-up
+        p4_out = sep("conv4_down")(
+            self._fuse(
+                "p4_w2", [p4_in_2, p4_td, _same_pool(p3_out)]
             ),
-            train=train,
+            train,
         )
-        p5_out = SeparableConvBN(self.channels, dtype=self.dtype, name="out5")(
-            nn.silu(
-                _fuse("w_out5", [p5, p5_td, self._down(p4_out)], self)
+        p5_out = sep("conv5_down")(
+            self._fuse(
+                "p5_w2", [p5_in_2, p5_td, _same_pool(p4_out)]
             ),
-            train=train,
+            train,
         )
-        p6_out = SeparableConvBN(self.channels, dtype=self.dtype, name="out6")(
-            nn.silu(
-                _fuse("w_out6", [p6, p6_td, self._down(p5_out)], self)
+        p6_out = sep("conv6_down")(
+            self._fuse(
+                "p6_w2", [p6_in, p6_td, _same_pool(p5_out)]
             ),
-            train=train,
+            train,
         )
-        p7_out = SeparableConvBN(self.channels, dtype=self.dtype, name="out7")(
-            nn.silu(_fuse("w_out7", [p7, self._down(p6_out)], self)),
-            train=train,
+        p7_out = sep("conv7_down")(
+            self._fuse("p7_w2", [p7_in, _same_pool(p6_out)]), train
         )
         return (p3_out, p4_out, p5_out, p6_out, p7_out)
 
 
 class PredictionHead(nn.Module):
-    """Shared sepconvs with per-level BatchNorm, final projection."""
+    """zylo117 Regressor/Classifier: shared separable convs (no BN
+    inside), per-level BatchNorm lists, biased ``header`` projection."""
 
     channels: int
     layers: int
@@ -256,24 +315,21 @@ class PredictionHead(nn.Module):
     @nn.compact
     def __call__(self, feats, train: bool = False):
         convs = [
-            SeparableConvBN(
+            SeparableConvBlock(
                 self.channels, use_bn=False, dtype=self.dtype,
                 name=f"conv{i}",
             )
             for i in range(self.layers)
         ]
-        final = SeparableConvBN(
-            self.out_features, use_bn=False, dtype=self.dtype, name="final"
+        final = SeparableConvBlock(
+            self.out_features, use_bn=False, dtype=self.dtype, name="header"
         )
         outs = []
         for li, f in enumerate(feats):
             h = f
             for ci, conv in enumerate(convs):
                 h = conv(h, train=train)
-                h = nn.BatchNorm(
-                    use_running_average=not train, momentum=0.99,
-                    epsilon=1e-3, dtype=self.dtype, name=f"bn_l{li}_c{ci}",
-                )(h)
+                h = _bn(train, f"bn_l{li}_c{ci}", self.dtype)(h)
                 h = nn.silu(h)
             outs.append(final(h, train=train))
         return outs
@@ -297,10 +353,11 @@ class EfficientDetSpec:
 def build_anchors(
     input_size: int, anchor_scale: float = 4.0
 ) -> np.ndarray:
-    """Static (N, 4) anchor boxes (y1, x1, y2, x2) over P3..P7."""
+    """Static (N, 4) anchor boxes (y1, x1, y2, x2) over P3..P7,
+    cell-major with 9 anchors interleaved per cell (zylo117 layout)."""
     scales = [2 ** 0, 2 ** (1.0 / 3), 2 ** (2.0 / 3)]
     ratios = [(1.0, 1.0), (1.4, 0.7), (0.7, 1.4)]
-    all_boxes = []
+    per_level = []
     for level in range(3, 8):
         stride = 2 ** level
         base = anchor_scale * stride
@@ -310,32 +367,25 @@ def build_anchors(
             (np.arange(fsize) + 0.5) * stride,
             indexing="ij",
         )
+        boxes = []
         for scale in scales:
             for rw, rh in ratios:
                 w = base * scale * rw / 2.0
                 h = base * scale * rh / 2.0
-                boxes = np.stack(
-                    [cy - h, cx - w, cy + h, cx + w], axis=-1
-                ).reshape(-1, 4)
-                all_boxes.append(boxes)
-        # interleave anchors per cell (official memory layout:
-        # (cell, anchor) ordering)
-    per_level = []
-    idx = 0
-    for level in range(3, 8):
-        fsize = input_size // (2 ** level)
-        cells = fsize * fsize
-        lvl = np.stack(all_boxes[idx : idx + 9], axis=1).reshape(-1, 4)
-        assert lvl.shape[0] == cells * 9
+                boxes.append(
+                    np.stack(
+                        [cy - h, cx - w, cy + h, cx + w], axis=-1
+                    ).reshape(-1, 4)
+                )
+        lvl = np.stack(boxes, axis=1).reshape(-1, 4)
         per_level.append(lvl)
-        idx += 9
     return np.concatenate(per_level, axis=0)
 
 
 def decode_boxes(
     regression: jnp.ndarray, anchors: jnp.ndarray
 ) -> jnp.ndarray:
-    """(dy, dx, dh, dw) regression → xyxy boxes."""
+    """(dy, dx, dh, dw) regression → xyxy boxes (zylo117 BBoxTransform)."""
     ay = (anchors[:, 0] + anchors[:, 2]) / 2
     ax = (anchors[:, 1] + anchors[:, 3]) / 2
     ah = anchors[:, 2] - anchors[:, 0]
@@ -362,36 +412,22 @@ class EfficientDet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         width, depth, size, fpn_ch, fpn_layers, head_layers = self.spec.config
-        c3, c4, c5 = EfficientNetFeatures(
+        feats = EfficientNetFeatures(
             width, depth, dtype=self.dtype, name="backbone"
         )(x, train=train)
 
-        def lateral(name, f):
-            h = nn.Conv(fpn_ch, (1, 1), dtype=self.dtype, name=name + "_pw")(f)
-            return nn.BatchNorm(
-                use_running_average=not train, momentum=0.99, epsilon=1e-3,
-                dtype=self.dtype, name=name + "_bn",
-            )(h)
-
-        p3 = lateral("lat3", c3)
-        p4 = lateral("lat4", c4)
-        p5 = lateral("lat5", c5)
-        p6 = lateral("lat6", c5)
-        p6 = nn.max_pool(p6, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
-        p7 = nn.max_pool(p6, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
-        feats = (p3, p4, p5, p6, p7)
-
         for i in range(fpn_layers):
             feats = BiFPNLayer(
-                fpn_ch, dtype=self.dtype, name=f"bifpn{i}"
+                fpn_ch, first_time=(i == 0), dtype=self.dtype,
+                name=f"bifpn{i}",
             )(feats, train=train)
 
+        box_outs = PredictionHead(
+            fpn_ch, head_layers, 9 * 4, dtype=self.dtype, name="regressor"
+        )(feats, train=train)
         cls_outs = PredictionHead(
             fpn_ch, head_layers, 9 * self.spec.num_classes,
-            dtype=self.dtype, name="class_net",
-        )(feats, train=train)
-        box_outs = PredictionHead(
-            fpn_ch, head_layers, 9 * 4, dtype=self.dtype, name="box_net"
+            dtype=self.dtype, name="classifier",
         )(feats, train=train)
 
         b = x.shape[0]

@@ -202,6 +202,78 @@ class UFLDv2Net(nn.Module):
         return result
 
 
+class UFLDv2CurveLanesNet(nn.Module):
+    """UFLDv2 CurveLanes variant: the 20-lane-token conv head (reference
+    exportLib/ultrafastLaneV2/model_curvelanes.py:34-75).
+
+    ``cls_distribute`` (two 3×3 convs) emits 20 per-lane token maps; the
+    pooled 8-channel feature map is replicated per token and concatenated
+    with that token's map, giving 20 rows of a 9·(H/32)·(W/32) feature
+    each run through the shared LayerNorm→MLP; row tokens 0-9 feed the
+    row classifier, col tokens 10-19 the column classifier.  Outputs use
+    the same loc/exist dict contract as the 4-lane head plus the summed
+    ``lane_token_row``/``lane_token_col`` maps.
+    """
+
+    spec: UFLDv2Spec
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False
+    ) -> Dict[str, jnp.ndarray]:
+        s = self.spec
+        _x2, _x3, fea = ResNetFeatures(
+            depth=s.backbone, dtype=self.dtype, name="backbone"
+        )(x, train=train)
+        t = nn.Conv(
+            128, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+            name="cls_distribute0",
+        )(fea)
+        t = nn.relu(t)
+        t = nn.Conv(
+            20, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+            name="cls_distribute2",
+        )(t)
+        pooled = nn.Conv(8, (1, 1), dtype=self.dtype, name="pool")(fea)
+
+        b, hh, ww, _ = pooled.shape
+        tok = t.transpose(0, 3, 1, 2)  # (B, 20, h, w) torch layout
+        pooled_n = pooled.transpose(0, 3, 1, 2)  # (B, 8, h, w)
+        rep = jnp.broadcast_to(
+            pooled_n[:, None], (b, 20, 8, hh, ww)
+        )
+        fea9 = jnp.concatenate([rep, tok[:, :, None]], axis=2)
+        # torch .view(-1, 9*h*w): channel-major per (batch, token) row
+        flat = fea9.reshape(b * 20, 9 * hh * ww)
+        flat = nn.LayerNorm(dtype=self.dtype, name="cls_norm")(flat)
+        h1 = nn.relu(
+            nn.Dense(s.mlp_mid, dtype=self.dtype, name="cls_fc1")(flat)
+        )
+        out = h1.reshape(b, 20, s.mlp_mid)
+
+        d1 = s.num_cell_row * s.num_row
+        d3 = s.num_cell_col * s.num_col
+        out_row = nn.Dense(
+            d1 + 2 * s.num_row, dtype=self.dtype, name="cls_row"
+        )(out[:, :10]).transpose(0, 2, 1)
+        out_col = nn.Dense(
+            d3 + 2 * s.num_col, dtype=self.dtype, name="cls_col"
+        )(out[:, 10:]).transpose(0, 2, 1)
+        return {
+            "loc_row": out_row[:, :d1].reshape(
+                b, s.num_cell_row, s.num_row, 10
+            ),
+            "loc_col": out_col[:, :d3].reshape(
+                b, s.num_cell_col, s.num_col, 10
+            ),
+            "exist_row": out_row[:, d1:].reshape(b, 2, s.num_row, 10),
+            "exist_col": out_col[:, d3:].reshape(b, 2, s.num_col, 10),
+            "lane_token_row": tok[:, :10].sum(axis=1),
+            "lane_token_col": tok[:, 10:].sum(axis=1),
+        }
+
+
 @dataclass(frozen=True)
 class UFLDv1Spec:
     """Static geometry of a UFLD v1 variant."""

@@ -55,12 +55,26 @@ class EfficientdetDetector(ObjectDetectBase):
             self.set_input_details(engine)
             self.set_output_details(engine)
         else:
+            num_classes = len(self.class_names)
+            ckpt_state = None
+            if str(self.model_path).endswith((".pth", ".pt")):
+                from ..tools.torch_import import load_state_dict
+
+                ckpt_state = load_state_dict(self.model_path)
+                # the graph must match the checkpoint's class count
+                # (zylo117 releases are 90-way COCO)
+                num_classes = (
+                    ckpt_state[
+                        "classifier.header.pointwise_conv.conv.bias"
+                    ].size
+                    // 9
+                )
             self.spec = EfficientDetSpec(
                 compound=int(getattr(self, "compound", 0)),
-                num_classes=len(self.class_names),
+                num_classes=num_classes,
             )
             self.net = EfficientDet(self.spec)
-            self.variables = self._load_weights()
+            self.variables = self._load_weights(ckpt_state)
         self._steps = {}
         if self.logger:
             which = (
@@ -70,7 +84,15 @@ class EfficientdetDetector(ObjectDetectBase):
             )
             self.logger.info(f"EfficientdetDetector [{which}] xla")
 
-    def _load_weights(self):
+    def _load_weights(self, ckpt_state=None):
+        if ckpt_state is not None:
+            # zylo117 Yet-Another-EfficientDet-Pytorch .pth release
+            # (the weights behind the reference's ONNX export)
+            from ..tools.efficientdet_import import efficientdet_variables
+
+            return jax.device_put(
+                efficientdet_variables(ckpt_state, self.spec)
+            )
         if self.model_path is None:
             rng = jax.random.PRNGKey(0)
             s = self.spec.input_size
@@ -82,7 +104,8 @@ class EfficientdetDetector(ObjectDetectBase):
             # tree on every DetectFrame call (CLAUDE.md bandwidth trap)
             return jax.device_put(load_params(self.model_path))
         raise ValueError(
-            f"Unsupported weights: {self.model_path} (expect .npz or None)"
+            f"Unsupported weights: {self.model_path} "
+            "(expect .pth/.npz/.onnx or None)"
         )
 
     def _build_step(self, src_shape):

@@ -181,6 +181,51 @@ def ufld_variables(
     return variables
 
 
+def ufld_curvelanes_variables(state: Dict[str, np.ndarray]) -> dict:
+    """UFLDv2-CurveLanes torch state dict -> flax variables for
+    UFLDv2CurveLanesNet (reference model_curvelanes.py:34-75 naming:
+    ``cls_distribute.{0,2}``, ``cls.0`` LayerNorm, ``cls.1`` Linear,
+    per-direction ``cls_row``/``cls_col`` Linears)."""
+    variables = {"params": {}, "batch_stats": {}}
+    direct = {
+        "pool.weight": ("pool", "kernel", _conv),
+        "pool.bias": ("pool", "bias", None),
+        "cls_distribute.0.weight": ("cls_distribute0", "kernel", _conv),
+        "cls_distribute.0.bias": ("cls_distribute0", "bias", None),
+        "cls_distribute.2.weight": ("cls_distribute2", "kernel", _conv),
+        "cls_distribute.2.bias": ("cls_distribute2", "bias", None),
+        "cls.0.weight": ("cls_norm", "scale", None),
+        "cls.0.bias": ("cls_norm", "bias", None),
+        "cls.1.weight": ("cls_fc1", "kernel", _dense),
+        "cls.1.bias": ("cls_fc1", "bias", None),
+        "cls_row.weight": ("cls_row", "kernel", _dense),
+        "cls_row.bias": ("cls_row", "bias", None),
+        "cls_col.weight": ("cls_col", "kernel", _dense),
+        "cls_col.bias": ("cls_col", "bias", None),
+    }
+    for name, value in state.items():
+        value = np.asarray(value)
+        if name.endswith("num_batches_tracked"):
+            continue
+        if name.startswith("model."):
+            mapped = _map_resnet_key(name[len("model.") :])
+            if mapped is None:
+                raise KeyError(f"unmapped backbone tensor: {name}")
+            col, path, transform = mapped
+            _set(variables[col], ("backbone",) + path, transform(value))
+        elif name in direct:
+            mod, leaf, transform = direct[name]
+            _set(
+                variables["params"], (mod, leaf),
+                transform(value) if transform else value,
+            )
+        elif name.startswith(("seg_head.", "aux_")):
+            continue  # training-only aux segmentation head
+        else:
+            raise KeyError(f"unmapped CurveLanes tensor: {name}")
+    return variables
+
+
 def main() -> None:
     """CLI mirror of the reference's pth→onnx exporter
     (convertPytorchToONNX.py:50-99): pth → flax .npz weight store."""

@@ -83,3 +83,110 @@ def test_efficientdet_facade_smoke():
             assert 0 <= info.conf <= 1
     finally:
         ed._D_CONFIGS[0] = (1.0, 1.0, 512, 64, 3, 3)
+
+
+class TestZylo117Ingestion:
+    """Structural bijection of the zylo117 .pth mapping: full-tree
+    coverage, exact round-trip, synthesized torch layout (no real
+    checkpoint ships in this environment)."""
+
+    def _flatten(self, tree, prefix=()):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out.update(self._flatten(v, prefix + (k,)))
+            else:
+                out[prefix + (k,)] = np.asarray(v)
+        return out
+
+    def test_mapping_bijection_d0(self):
+        import jax
+
+        from adas_tpu.models.efficientdet import (
+            EfficientDet,
+            EfficientDetSpec,
+        )
+        from adas_tpu.tools.efficientdet_import import (
+            efficientdet_mapping,
+            efficientdet_variables,
+        )
+
+        spec = EfficientDetSpec(compound=0, num_classes=90)
+        net = EfficientDet(spec)
+        # tiny input: anchors/feature sizes don't affect the param tree
+        ref = net.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3), jnp.float32)
+        )
+        flat_ref = {
+            c: self._flatten(ref[c]) for c in ("params", "batch_stats")
+        }
+        mapping = efficientdet_mapping(spec)
+        targets = {}
+        for src, coll, dst, _ in mapping:
+            assert dst in flat_ref[coll], f"target missing: {coll}/{dst}"
+            assert (coll, dst) not in targets, f"duplicate {dst}"
+            targets[(coll, dst)] = src
+        for coll in ("params", "batch_stats"):
+            for leaf in flat_ref[coll]:
+                assert (coll, leaf) in targets, f"unmapped {coll}/{leaf}"
+
+        # synthesize the torch-side state and round-trip
+        state = {}
+        for src, coll, dst, _t in mapping:
+            v = flat_ref[coll][dst]
+            if dst[-1] == "kernel" and v.ndim == 4:
+                v = np.transpose(v, (3, 2, 0, 1))
+            state[src] = v
+        state["backbone_net.model._blocks.0._bn1.num_batches_tracked"] = (
+            np.zeros((), np.int64)
+        )
+        got = efficientdet_variables(state, spec)
+        flat_got = {
+            c: self._flatten(got[c]) for c in ("params", "batch_stats")
+        }
+        for coll in ("params", "batch_stats"):
+            assert set(flat_got[coll]) == set(flat_ref[coll])
+            for k in flat_ref[coll]:
+                np.testing.assert_array_equal(
+                    flat_got[coll][k], flat_ref[coll][k]
+                )
+
+    def test_facade_pth_roundtrip(self, tmp_path):
+        """A zylo117-layout .pth loads through the facade (class count
+        inferred from the checkpoint head) and detects."""
+        import jax
+        import torch
+
+        from adas_tpu.models.efficientdet import (
+            EfficientDet,
+            EfficientDetSpec,
+        )
+        from adas_tpu.tools.efficientdet_import import efficientdet_mapping
+
+        spec = EfficientDetSpec(compound=0, num_classes=90)
+        net = EfficientDet(spec)
+        ref = net.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 128, 128, 3), jnp.float32)
+        )
+        flat_ref = {
+            c: self._flatten(ref[c]) for c in ("params", "batch_stats")
+        }
+        state = {}
+        for src, coll, dst, _t in efficientdet_mapping(spec):
+            v = flat_ref[coll][dst]
+            if dst[-1] == "kernel" and v.ndim == 4:
+                v = np.transpose(v, (3, 2, 0, 1))
+            state[src] = torch.from_numpy(np.ascontiguousarray(v))
+        path = tmp_path / "effdet_d0.pth"
+        torch.save(state, str(path))
+
+        from adas_tpu.perception.efficientdet_detector import (
+            EfficientdetDetector,
+        )
+
+        det = EfficientdetDetector(
+            model_path=str(path), compound=0, box_score=0.3
+        )
+        assert det.spec.num_classes == 90
+        det.DetectFrame(np.zeros((512, 512, 3), np.uint8))
+        assert isinstance(det.object_info, list)

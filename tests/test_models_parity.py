@@ -140,3 +140,49 @@ def test_ufldv2_tta_and_aux():
         np.asarray(tta["loc_row"][:2]), np.asarray(out["loc_row"]),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_ufldv2_curvelanes_parity(torch_seed):
+    """20-lane-token CurveLanes head vs a torch oracle of the reference's
+    model_curvelanes.py structure (shared random weights)."""
+    from torch_nets import TorchUFLDv2CurveLanes
+
+    from adas_tpu.models.ufld import UFLDv2CurveLanesNet
+    from adas_tpu.tools.torch_import import ufld_curvelanes_variables
+
+    h, w = 64, 160
+    spec = UFLDv2Spec(
+        input_height=h, input_width=w, crop_ratio=0.8,
+        num_cell_row=10, num_row=6, num_cell_col=8, num_col=5,
+        fc_norm=True, mlp_mid=64,
+    )
+    tmodel = TorchUFLDv2CurveLanes(
+        h, w, grid_row=10, cls_row=6, grid_col=8, cls_col=5, mid=64
+    ).eval()
+    randomize_bn_stats(tmodel)
+    x = torch.randn(2, 3, h, w)
+    with torch.no_grad():
+        tout = {k: v.numpy() for k, v in tmodel(x).items()}
+
+    variables = ufld_curvelanes_variables(state_to_numpy(tmodel))
+    jx = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    out = UFLDv2CurveLanesNet(spec).apply(variables, jx)
+    assert set(out) == set(tout)
+    for k in tout:
+        np.testing.assert_allclose(
+            np.asarray(out[k]), tout[k], atol=5e-4, rtol=1e-3,
+            err_msg=k,
+        )
+
+
+def test_curvelanes_registry_buildable():
+    """The registry builds the CurveLanes net (exportable), matching the
+    reference shipping the net while its runtime rejects the dataset."""
+    import jax
+
+    from adas_tpu.engine import registry
+    from adas_tpu.models.ufld import UFLDv2CurveLanesNet
+
+    e = registry.build("UFLDV2_CURVELANES")
+    assert isinstance(e.net, UFLDv2CurveLanesNet)
+    assert e.input_shape_nchw == (1, 3, 800, 1600)

@@ -101,3 +101,60 @@ def randomize_bn_stats(model: nn.Module, seed: int = 0) -> None:
         if isinstance(m, nn.BatchNorm2d):
             m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.1)
             m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) + 0.5)
+
+
+class TorchUFLDv2CurveLanes(nn.Module):
+    """CurveLanes 20-lane-token head oracle (structure of the reference's
+    model_curvelanes.py, small dims for test speed)."""
+
+    def __init__(self, input_h, input_w, grid_row, cls_row, grid_col,
+                 cls_col, mid=64):
+        super().__init__()
+        self.model = TorchResNet18()
+        self.n_row, self.n_col = cls_row, cls_col
+        self.g_row, self.g_col = grid_row, grid_col
+        self.dim1 = grid_row * cls_row
+        self.dim3 = grid_col * cls_col
+        self.mid = mid
+        self.input_dim = (input_h // 32) * (input_w // 32) * 9
+        self.cls_distribute = nn.Sequential(
+            nn.Conv2d(512, 128, 3, padding=1),
+            nn.ReLU(),
+            nn.Conv2d(128, 20, 3, padding=1),
+        )
+        self.cls = nn.Sequential(
+            nn.LayerNorm(self.input_dim),
+            nn.Linear(self.input_dim, mid),
+            nn.ReLU(),
+        )
+        self.cls_row = nn.Linear(mid, self.dim1 + 2 * cls_row)
+        self.cls_col = nn.Linear(mid, self.dim3 + 2 * cls_col)
+        self.pool = nn.Conv2d(512, 8, 1)
+
+    def forward(self, x):
+        _, _, fea = self.model(x)
+        h, w = fea.shape[-2:]
+        lane_token = self.cls_distribute(fea).reshape(-1, 20, 1, h, w)
+        rep = self.pool(fea).unsqueeze(1).repeat(1, 20, 1, 1, 1)
+        fea9 = torch.cat([rep, lane_token], 2)
+        out = self.cls(fea9.view(-1, self.input_dim)).reshape(
+            -1, 20, self.mid
+        )
+        out_row = self.cls_row(out[:, :10, :]).permute(0, 2, 1)
+        out_col = self.cls_col(out[:, 10:, :]).permute(0, 2, 1)
+        return {
+            "loc_row": out_row[:, : self.dim1, :].reshape(
+                -1, self.g_row, self.n_row, 10
+            ),
+            "loc_col": out_col[:, : self.dim3, :].reshape(
+                -1, self.g_col, self.n_col, 10
+            ),
+            "exist_row": out_row[:, self.dim1 :, :].reshape(
+                -1, 2, self.n_row, 10
+            ),
+            "exist_col": out_col[:, self.dim3 :, :].reshape(
+                -1, 2, self.n_col, 10
+            ),
+            "lane_token_row": lane_token[:, :10, 0].sum(1),
+            "lane_token_col": lane_token[:, 10:, 0].sum(1),
+        }
