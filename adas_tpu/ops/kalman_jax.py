@@ -3,9 +3,15 @@
 Mirror of tracking/kalman.py (the host tracker's numpy implementation,
 itself parity with reference kalman_filter.py:40-270): same constant-
 velocity model, std weights and Cholesky update, but expressed as fixed-
-shape jnp ops batched over a padded track tensor — the building block for
-a fully on-device tracking variant (SURVEY.md §2.2 "batched-KF
-predict/update ... jax.scipy cho_factor/cho_solve via vmap").
+shape jnp ops batched over a padded track tensor (SURVEY.md §2.2
+"batched-KF predict/update ... jax.scipy cho_factor/cho_solve via vmap").
+
+Consumer: ``pipeline/multistream.py`` with ``device_kf=True`` runs
+``predict`` over every stream's track pool INSIDE the fused device step —
+the track states ride the frame upload, the predictions ride the packed
+fetch, and the host tracker applies them via
+``BYTETracker.update(predicted=...)`` instead of its numpy
+``multi_predict`` (equivalence tested in tests/test_multistream.py).
 
 All functions take/return (N, 8) means and (N, 8, 8) covariances and are
 safe under ``jax.jit``/``vmap``; padding rows just carry garbage states

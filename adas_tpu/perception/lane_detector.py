@@ -146,7 +146,7 @@ class UltrafastLaneDetectorV2(LaneDetectBase):
                 version=2, fc_norm=self.spec.fc_norm,
             )
             self._step = self._build_step()
-        else:
+        elif not getattr(engine, "fused", False):
             outs, _ = engine.get_engine_output_shape()
             if len(outs) != 4:
                 raise ValueError(
@@ -182,9 +182,41 @@ class UltrafastLaneDetectorV2(LaneDetectBase):
 
         return step, spec_holder
 
+    def export_fused(
+        self, out_path: str, frame_hw, platforms=None
+    ) -> dict:
+        """Serialize the fused step (uint8 frame -> ONE packed decode
+        vector) as a single-round-trip ``.adas`` artifact; the pack
+        layout goes into the metadata so the host can unpack the one
+        fetched buffer."""
+        if self.engine is not None:
+            raise ValueError("export_fused needs the native-graph path")
+        from ..engine.artifact import build_fused_artifact, pack_spec_meta
+
+        h, w = int(frame_hw[0]), int(frame_hw[1])
+        step, spec_holder = self._step
+        variables = self.variables
+        fn = lambda frame: step(variables, frame)  # noqa: E731
+        # trace once so the step records its pack spec
+        jax.eval_shape(fn, jax.ShapeDtypeStruct((h, w, 3), jnp.uint8))
+        return build_fused_artifact(
+            fn, (h, w, 3), out_path, platforms=platforms,
+            meta={
+                "kind": "ufldv2",
+                "model": self.model_type.name,
+                **pack_spec_meta(spec_holder["spec"]),
+            },
+        )
+
     def DetectFrame(self, image: np.ndarray, adjust_lanes: bool = False) -> None:
         h, w = image.shape[:2]
-        if self.engine is not None:
+        if self.engine is not None and getattr(self.engine, "fused", False):
+            from ..engine.artifact import check_fused_frame, unpack_from_meta
+
+            frame = check_fused_frame(self.engine, image)
+            flat = np.asarray(self.engine.run_device(frame))
+            decoded = unpack_from_meta(flat, self.engine.meta["pack"])
+        elif self.engine is not None:
             decoded = self._detect_via_engine(image)
         else:
             step, spec_holder = self._step
@@ -314,9 +346,31 @@ class UltrafastLaneDetector(LaneDetectBase):
 
         return step
 
+    def export_fused(
+        self, out_path: str, frame_hw, platforms=None
+    ) -> dict:
+        """Serialize the fused v1 step (uint8 frame -> decoded loc grid)
+        as a single-round-trip ``.adas`` artifact."""
+        if self.engine is not None:
+            raise ValueError("export_fused needs the native-graph path")
+        from ..engine.artifact import build_fused_artifact
+
+        h, w = int(frame_hw[0]), int(frame_hw[1])
+        step, variables = self._step, self.variables
+        return build_fused_artifact(
+            lambda frame: step(variables, frame),
+            (h, w, 3), out_path, platforms=platforms,
+            meta={"kind": "ufldv1", "model": self.model_type.name},
+        )
+
     def DetectFrame(self, image: np.ndarray, adjust_lanes: bool = False) -> None:
         h, w = image.shape[:2]
-        if self.engine is not None:
+        if self.engine is not None and getattr(self.engine, "fused", False):
+            from ..engine.artifact import check_fused_frame
+
+            frame = check_fused_frame(self.engine, image)
+            loc = np.asarray(self.engine.run_device(frame))[0]
+        elif self.engine is not None:
             spec = self.spec
             x = ufld_v1_preprocess(
                 jnp.asarray(image)[None], spec.input_height, spec.input_width

@@ -357,9 +357,43 @@ class YoloDetector(ObjectDetectBase):
 
         return step
 
+    def export_fused(
+        self, out_path: str, frame_hw, platforms=None
+    ) -> dict:
+        """Serialize the FUSED step (uint8 frame -> (max_det, 6) dets in
+        source coords) as a ``.adas`` artifact — single-round-trip
+        serving, the true analogue of the reference's one
+        h2d→execute→d2h engine call (coreEngine.py:93-118)."""
+        if self.engine is not None:
+            raise ValueError("export_fused needs the native-graph path")
+        from ..engine.artifact import build_fused_artifact
+
+        h, w = int(frame_hw[0]), int(frame_hw[1])
+        step = self._build_step((h, w))
+        variables = self.variables
+        return build_fused_artifact(
+            lambda frame: step(variables, frame),
+            (h, w, 3),
+            out_path,
+            platforms=platforms,
+            meta={
+                "kind": "yolo",
+                "model": self.model_type.name,
+                "scale": self.spec.scale,
+                "net_input_size": list(self.spec.input_size),
+            },
+        )
+
     def DetectFrame(self, srcimg: np.ndarray) -> None:
         src_shape = srcimg.shape[:2]
         if self.engine is not None:
+            if getattr(self.engine, "fused", False):
+                from ..engine.artifact import check_fused_frame
+
+                frame = check_fused_frame(self.engine, srcimg)
+                dets = np.asarray(self.engine.run_device(frame))
+                self._object_info = self._dets_to_rectinfo(dets)
+                return
             self._detect_via_engine(srcimg)
             return
         if src_shape not in self._steps:

@@ -66,6 +66,8 @@ class MultiStreamADAS:
         mesh: Optional[Mesh] = None,
         host_downscale: Optional[Sequence[int]] = None,
         transport: str = "bgr",
+        device_kf: bool = False,
+        max_tracks: int = 64,
     ):
         self.yolo = yolo
         self.lane = lane
@@ -75,6 +77,13 @@ class MultiStreamADAS:
         #: see pipeline/fused.py: shrink upload bytes on tunneled TPUs
         self.host_downscale = tuple(host_downscale) if host_downscale else None
         self.transport = transport
+        #: run the trackers' batched KF predict (ops/kalman_jax.py) inside
+        #: the fused device step: track states ride the frame upload and
+        #: the predictions ride the existing packed fetch.  The predict
+        #: must see the tracker state the fetch will update, so submits
+        #: cannot be pipelined ahead — use process_batch()/depth-1.
+        self.device_kf = bool(device_kf)
+        self.max_tracks = int(max_tracks)
         self.dev_hw = self.host_downscale or self.frame_hw
         self._spec_holder = {}
         h, w = self.frame_hw
@@ -101,7 +110,9 @@ class MultiStreamADAS:
             jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32
         )
 
-        def one(yolo_vars, lane_vars, frame_in):
+        device_kf = self.device_kf
+
+        def one(yolo_vars, lane_vars, frame_in, kf_means=None, kf_covs=None):
             from ..models.layers import quantized
 
             quant = (
@@ -133,11 +144,22 @@ class MultiStreamADAS:
             lanes = ufld_v2_decode(
                 {k: v[None] for k, v in louts.items()}
             )
-            flat, pack_spec = pack((dets, lanes))
+            if device_kf:
+                from ..ops import kalman_jax
+
+                pred_m, pred_c = kalman_jax.predict(kf_means, kf_covs)
+                flat, pack_spec = pack((dets, lanes, pred_m, pred_c))
+            else:
+                flat, pack_spec = pack((dets, lanes))
             spec_holder["spec"] = pack_spec
             return flat
 
-        batched = jax.vmap(one, in_axes=(None, None, 0))
+        if device_kf:
+            batched = jax.vmap(one, in_axes=(None, None, 0, 0, 0))
+        else:
+            batched = jax.vmap(
+                lambda yv, lv, f: one(yv, lv, f), in_axes=(None, None, 0)
+            )
         self._batched = batched  # unjitted; compute probe wraps it
 
         if self.mesh is not None:
@@ -149,9 +171,15 @@ class MultiStreamADAS:
             params_shard = jax.tree_util.tree_map(
                 lambda _: repl, (self.yolo.variables, self.lane.variables)
             )
+            in_sh = [params_shard[0], params_shard[1], in_batch]
+            if device_kf:
+                in_sh += [
+                    NamedSharding(self.mesh, P("data", None, None)),
+                    NamedSharding(self.mesh, P("data", None, None, None)),
+                ]
             jitted = jax.jit(
                 batched,
-                in_shardings=(params_shard[0], params_shard[1], in_batch),
+                in_shardings=tuple(in_sh),
                 out_shardings=NamedSharding(self.mesh, P("data")),
             )
         else:
@@ -182,11 +210,63 @@ class MultiStreamADAS:
             x = jax.device_put(
                 x, NamedSharding(self.mesh, P("data", *([None] * (x.ndim - 1))))
             )
-        return self._step(self.yolo.variables, self.lane.variables, x)
+        if not self.device_kf:
+            return self._step(self.yolo.variables, self.lane.variables, x)
+
+        # device-KF: the predict must run on the state this frame's fetch
+        # will update, so a second submit before fetch would predict from
+        # stale trackers — refuse rather than silently drift
+        if getattr(self, "_kf_inflight", False):
+            raise RuntimeError(
+                "device_kf streams cannot pipeline submits: fetch the "
+                "previous handle first (use process_batch or depth=1)"
+            )
+        self._kf_inflight = True
+        pools, means, covs = self._gather_kf_state()
+        if self.mesh is not None:
+            means = jax.device_put(
+                means, NamedSharding(self.mesh, P("data", None, None))
+            )
+            covs = jax.device_put(
+                covs, NamedSharding(self.mesh, P("data", None, None, None))
+            )
+        dev = self._step(
+            self.yolo.variables, self.lane.variables, x, means, covs
+        )
+        return (dev, pools)
+
+    def _gather_kf_state(self):
+        """Per-stream padded (max_tracks, 8)/(max_tracks, 8, 8) KF state
+        for the on-device predict.  A stream overflowing max_tracks keeps
+        the host predict (pool recorded as None)."""
+        from ..tracking.strack import STrack
+
+        t = self.max_tracks
+        pools, all_means, all_covs = [], [], []
+        for stream in self.streams:
+            pool = stream.tracker.predict_pool()
+            means = np.zeros((t, 8), np.float32)
+            covs = np.zeros((t, 8, 8), np.float32)
+            if pool and len(pool) <= t:
+                m, c = STrack.gather_state(pool)
+                means[: len(pool)] = m
+                covs[: len(pool)] = c
+                pools.append(pool)
+            else:
+                pools.append(None)
+            all_means.append(means)
+            all_covs.append(covs)
+        return pools, jnp.asarray(np.stack(all_means)), jnp.asarray(
+            np.stack(all_covs)
+        )
 
     def fetch(self, handle, frames: np.ndarray) -> List[dict]:
         """Block and run per-stream host analytics; returns signal dicts."""
-        return self._analytics(self._fetch_flat(handle), frames)
+        pools = None
+        if self.device_kf:
+            handle, pools = handle
+            self._kf_inflight = False
+        return self._analytics(self._fetch_flat(handle), frames, pools)
 
     def _fetch_flat(self, handle) -> np.ndarray:
         """Device→host transfer of the packed per-stream outputs.
@@ -202,7 +282,9 @@ class MultiStreamADAS:
             [np.asarray(by_start[k].data) for k in sorted(by_start)], axis=0
         )
 
-    def _analytics(self, flat: np.ndarray, frames: np.ndarray) -> List[dict]:
+    def _analytics(
+        self, flat: np.ndarray, frames: np.ndarray, pools=None
+    ) -> List[dict]:
         """Host analytics per stream on the fetched packed tensor."""
         per_stream = [
             unpack(flat[i], self._spec_holder["spec"])
@@ -212,7 +294,21 @@ class MultiStreamADAS:
         sy = self.frame_hw[0] / self.dev_hw[0]
         sx = self.frame_hw[1] / self.dev_hw[1]
         for i, stream in enumerate(self.streams):
-            dets, lanes_i = per_stream[i]
+            predicted = None
+            if self.device_kf:
+                dets, lanes_i, pred_m, pred_c = per_stream[i]
+                pool = pools[i] if pools else None
+                # the predictions only apply if the pool the device
+                # predicted is still exactly what update() will predict
+                if pool is not None:
+                    now = stream.tracker.predict_pool()
+                    if len(now) == len(pool) and all(
+                        a is b for a, b in zip(now, pool)
+                    ):
+                        n = len(pool)
+                        predicted = (pred_m[:n], pred_c[:n])
+            else:
+                dets, lanes_i = per_stream[i]
             dets = np.asarray(dets).copy()
             dets[:, [0, 2]] *= sx
             dets[:, [1, 3]] *= sy
@@ -234,6 +330,7 @@ class MultiStreamADAS:
                 np.asarray(scores, dtype=np.float64),
                 labels,
                 frames[i],
+                predicted=predicted,
             )
             stream.distance.updateDistance(objs)
             collision_pt = stream.distance.calcCollisionPoint(
@@ -287,6 +384,14 @@ class MultiStreamADAS:
         the packed output folded into the carry, so XLA can neither hoist
         the body out of the loop nor dead-code it."""
         fn = self._batched
+        if self.device_kf:
+            t, s_ = self.max_tracks, self.n_streams
+            kf_zero = (
+                jnp.zeros((s_, t, 8), jnp.float32),
+                jnp.zeros((s_, t, 8, 8), jnp.float32),
+            )
+            base = fn
+            fn = lambda yv, lv, xi: base(yv, lv, xi, *kf_zero)  # noqa: E731
 
         def probe(yolo_vars, lane_vars, x):
             def body(i, s):

@@ -30,6 +30,48 @@ def _build_net(args):
     return entry.net, entry.input_shape_nchw, entry.meta
 
 
+def _build_fused(args) -> dict:
+    """Construct the detector facade and export its fused step."""
+    frame_hw = (args.frame_height, args.frame_width)
+    dtype = "fp16" if args.fp16 else None
+    if args.type.upper().startswith("YOLO"):
+        from ..perception.object_detector import YoloDetector
+        from ..utils.types import ObjectModelType
+
+        det = YoloDetector(
+            model_path=args.weights,
+            model_type=ObjectModelType[args.type.upper()],
+            scale=args.scale,
+            input_size=(args.height, args.width),
+            compute_dtype="bf16" if dtype else None,
+        )
+        return det.export_fused(
+            args.output, frame_hw, platforms=args.platforms
+        )
+    if args.type.upper().startswith("UFLD"):
+        from ..perception.lane_detector import (
+            UltrafastLaneDetector,
+            UltrafastLaneDetectorV2,
+        )
+        from ..utils.types import LaneModelType
+
+        cls = (
+            UltrafastLaneDetectorV2
+            if "V2" in args.type.upper()
+            else UltrafastLaneDetector
+        )
+        det = cls(
+            model_path=args.weights,
+            model_type=LaneModelType[args.type.upper()],
+        )
+        return det.export_fused(
+            args.output, frame_hw, platforms=args.platforms
+        )
+    raise SystemExit(
+        f"--fused supports YOLO*/UFLD* types, not {args.type}"
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(
         description="Build a serialized XLA engine artifact"
@@ -46,7 +88,25 @@ def main() -> None:
                     help="build with fp16 activations")
     ap.add_argument("--platforms", nargs="*", default=None,
                     help="target platforms, e.g. tpu cpu")
+    ap.add_argument("--fused", action="store_true",
+                    help="export the detector's FUSED step (uint8 frame in,"
+                         " decoded outputs out; single round-trip serving)")
+    ap.add_argument("--frame-height", type=int, default=720,
+                    help="source frame height baked into a fused engine")
+    ap.add_argument("--frame-width", type=int, default=1280,
+                    help="source frame width baked into a fused engine")
     args = ap.parse_args()
+
+    if args.fused:
+        meta = _build_fused(args)
+        print(f"=== fused engine: {args.output}")
+        print(f"  frame  {meta['frame_shape']} {meta['input_dtype']}")
+        for name, shape, dt in zip(
+            meta["output_names"], meta["output_shapes"], meta["output_dtypes"]
+        ):
+            print(f"  output {name}: {shape} {dt}")
+        print(f"  platforms: {meta['platforms']}")
+        return
 
     net, shape_nchw, meta = _build_net(args)
     if args.weights:

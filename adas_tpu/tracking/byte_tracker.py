@@ -64,8 +64,22 @@ class BYTETracker(ObjectTrackBase):
         }.get(status, self.tracked_stracks)
         return [t.get_track_message() for t in pool]
 
-    def update(self, bboxes, scores, class_ids, frame: np.ndarray):
-        """Advance one frame: bboxes xyxy, scores, per-box class ids."""
+    def predict_pool(self) -> List[STrack]:
+        """The exact track list whose KF predict runs inside ``update``
+        (activated tracked + lost, deduped) — the device-KF path gathers
+        this pool's state (``STrack.gather_state``) before the device
+        step and hands the predictions back via ``update(predicted=)``."""
+        confirmed = [t for t in self.tracked_stracks if t.is_activated]
+        return joint_stracks(confirmed, self.lost_stracks)
+
+    def update(
+        self, bboxes, scores, class_ids, frame: np.ndarray, predicted=None
+    ):
+        """Advance one frame: bboxes xyxy, scores, per-box class ids.
+
+        ``predicted``: optional ``(means, covs)`` arrays aligned with
+        ``predict_pool()`` as of this call — externally (device-)computed
+        KF predictions applied in place of the host ``multi_predict``."""
         self.frame_id += 1
         activated, refind, lost, removed = [], [], [], []
 
@@ -89,7 +103,10 @@ class BYTETracker(ObjectTrackBase):
 
         # Stage 1: high-score dets vs tracked+lost, score-fused IoU cost.
         pool = joint_stracks(confirmed, self.lost_stracks)
-        STrack.multi_predict(pool)
+        if predicted is not None and len(predicted[0]) == len(pool):
+            STrack.apply_predictions(pool, predicted[0], predicted[1])
+        else:
+            STrack.multi_predict(pool)
         dists = matching.fuse_score(
             matching.iou_distance(pool, dets_high), dets_high
         )

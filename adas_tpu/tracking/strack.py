@@ -46,14 +46,30 @@ class STrack(BaseTrack):
         """One batched KF predict across every live track."""
         if not stracks:
             return
+        means, covs = STrack.gather_state(stracks)
+        means, covs = STrack.shared_kalman.multi_predict(means, covs)
+        STrack.apply_predictions(stracks, means, covs)
+
+    @staticmethod
+    def gather_state(stracks: List["STrack"]):
+        """(N, 8) means / (N, 8, 8) covariances ready for a KF predict —
+        the zero-vh trick for non-Tracked states already applied, so a
+        device-side ``ops.kalman_jax.predict`` on these tensors is
+        exactly the host ``multi_predict`` arithmetic."""
         means = np.stack([st.mean for st in stracks])
         covs = np.stack([st.covariance for st in stracks])
         for i, st in enumerate(stracks):
             if st.state != TrackState.Tracked:
                 means[i, 7] = 0
-        means, covs = STrack.shared_kalman.multi_predict(means, covs)
+        return means, covs
+
+    @staticmethod
+    def apply_predictions(stracks, means, covs) -> None:
+        """Write externally-computed KF predictions back onto the tracks
+        (counterpart of ``gather_state`` for the device-KF path)."""
         for st, m, c in zip(stracks, means, covs):
-            st.mean, st.covariance = m, c
+            st.mean = np.asarray(m, dtype=np.float64)
+            st.covariance = np.asarray(c, dtype=np.float64)
 
     def activate(self, kalman_filter: KalmanFilter, frame_id: int) -> None:
         self.kalman_filter = kalman_filter

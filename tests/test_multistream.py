@@ -110,3 +110,72 @@ def test_per_stream_lane_isolation_and_probe():
         probe(ms.yolo.variables, ms.lane.variables, x)
     )
     assert np.isfinite(float(out))
+
+
+def test_device_kf_predict_equivalence_and_wiring():
+    """ops/kalman_jax.predict inside the fused step reproduces the host
+    tracker's batched predict (tracking/kalman.py multi_predict), and the
+    device_kf pipeline refuses pipelined submits (the predict must see
+    the state its own fetch will update)."""
+    import copy
+
+    import jax
+
+    from adas_tpu.ops import kalman_jax
+    from adas_tpu.tracking import BYTETracker
+    from adas_tpu.tracking.strack import STrack
+
+    # Build a tracker with live tracked + lost tracks.
+    tracker = BYTETracker(names={"person": (0, 255, 0)})
+    rng = np.random.default_rng(3)
+    boxes = np.abs(rng.normal(100, 30, (6, 4)))
+    boxes[:, 2:] = boxes[:, :2] + np.abs(rng.normal(40, 10, (6, 2)))
+    frame = np.zeros((240, 320, 3), np.uint8)
+    tracker.update(boxes, np.full(6, 0.9), np.zeros(6, int), frame)
+    tracker.update(boxes + 2, np.full(6, 0.9), np.zeros(6, int), frame)
+    tracker.update(boxes[:4] + 4, np.full(4, 0.9), np.zeros(4, int), frame)
+    pool = tracker.predict_pool()
+    assert len(pool) >= 4
+
+    # Device predict on the gathered state == host multi_predict.
+    means, covs = STrack.gather_state(pool)
+    pm, pc = jax.jit(kalman_jax.predict)(
+        means.astype(np.float32), covs.astype(np.float32)
+    )
+    host = copy.deepcopy(tracker)
+    dev = copy.deepcopy(tracker)
+    dets = boxes[:4] + 6
+    host.update(dets, np.full(4, 0.9), np.zeros(4, int), frame)
+    dev.update(
+        dets, np.full(4, 0.9), np.zeros(4, int), frame,
+        predicted=(np.asarray(pm), np.asarray(pc)),
+    )
+    assert len(host.tracked_stracks) == len(dev.tracked_stracks)
+    for a, b in zip(host.tracked_stracks, dev.tracked_stracks):
+        assert a.track_id == b.track_id
+        np.testing.assert_allclose(a.mean, b.mean, atol=1e-3)
+
+    # Pipeline wiring: one step with device_kf on; pipelining refused.
+    yolo = YoloDetector(
+        model_path=None, model_type=ObjectModelType.YOLOV8, scale="n",
+        input_size=(160, 160), box_score=0.25,
+    )
+    lane = UltrafastLaneDetectorV2(
+        model_path=None, model_type=LaneModelType.UFLDV2_TUSIMPLE
+    )
+    ms = MultiStreamADAS(
+        yolo, lane, 2, frame_hw=(180, 320), mesh=None,
+        device_kf=True, max_tracks=8,
+    )
+    frames = np.random.default_rng(1).integers(
+        0, 255, (2, 180, 320, 3), dtype=np.uint8
+    )
+    results = ms.process_batch(frames)
+    assert len(results) == 2
+    h = ms.submit(frames)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="pipeline"):
+        ms.submit(frames)
+    ms.fetch(h, frames)
+    assert all(s.tracker.frame_id == 2 for s in ms.streams)
