@@ -11,6 +11,15 @@ its ``method`` *string* against ints 1/2, so the linear/gaussian branches are
 dead and it always applies hard suppression with VOC ``+1`` box arithmetic.
 ``method="hard"``+``plus_one=True`` reproduces that effective behavior and is
 the parity default; "linear"/"gaussian" implement the intended soft-NMS.
+
+Divergence from the reference: its in-place max-swap
+(utils.py:219 ``dets[i,:], dets[maxpos,:] = dets[maxpos,:], tBD`` where
+``tBD`` is a *view* of row i) duplicates the max row and loses the
+displaced box whenever the input is not already score-sorted, so on
+unsorted candidates the reference suppresses against corrupted geometry.
+We sort by score up front (top_k) and keep every box intact; on sorted
+input — where the reference bug is dormant — the keep sets agree exactly
+(tests/test_reference_golden.py golden vs the reference's own code).
 """
 from __future__ import annotations
 
