@@ -111,6 +111,11 @@ class MultiStreamADAS:
         )
 
         device_kf = self.device_kf
+        # v10 one-to-one head: serve NMS-free (BASELINE config 5), same
+        # branch the single-frame facade takes (object_detector.py)
+        nms_free = bool(getattr(yolo, "nms_free", False))
+        if nms_free and yspec.family != "v10":
+            raise ValueError("nms_free serving requires a YOLOv10 model")
 
         def one(yolo_vars, lane_vars, frame_in, kf_means=None, kf_covs=None):
             from ..models.layers import quantized
@@ -125,15 +130,22 @@ class MultiStreamADAS:
             else:
                 frame_bgr = frame_in
             x = yolo_preprocess(frame_bgr[None], geom, dtype=in_dtype)
-            with quant:
-                raw = ynet.apply(yolo_vars, x)[0].astype(jnp.float32)
-            boxes, scores, ids = decode_predictions(
-                raw, model_type, yspec.num_classes, yspec.input_size
-            )
-            dets = select_and_nms(
-                boxes, scores, ids, box_score=box_score,
-                iou_threshold=iou, max_det=max_det,
-            )
+            if nms_free:
+                with quant:
+                    dets = ynet.apply(yolo_vars, x, method=ynet.one2one)[0]
+                dets = dets.astype(jnp.float32)
+                keep = dets[:, 4] >= box_score
+                dets = (dets * keep[:, None].astype(jnp.float32))[:max_det]
+            else:
+                with quant:
+                    raw = ynet.apply(yolo_vars, x)[0].astype(jnp.float32)
+                boxes, scores, ids = decode_predictions(
+                    raw, model_type, yspec.num_classes, yspec.input_size
+                )
+                dets = select_and_nms(
+                    boxes, scores, ids, box_score=box_score,
+                    iou_threshold=iou, max_det=max_det,
+                )
             dets = detections_to_original(dets, geom)
             lx = ufld_v2_preprocess(
                 frame_bgr[None], lspec.input_height, lspec.input_width,

@@ -169,6 +169,53 @@ def _full_configs(rng) -> dict:
     out["c3_yolov8l_bytetrack_720p"] = {
         "p50_ms": round(p50 * 1000, 2), "fps": round(1.0 / p50, 2)
     }
+    out.update(_config5(rng))
+    return out
+
+
+def _config5(rng) -> dict:
+    """BASELINE config 5: 8 streams of int8 YOLOv10 served NMS-free (the
+    one-to-one head, no NMS stage) + UFLDv2, plus EfficientDet-D0
+    single-image latency."""
+    import jax.numpy as jnp
+
+    from adas_tpu.perception.efficientdet_detector import (
+        EfficientdetDetector,
+    )
+    from adas_tpu.perception.lane_detector import UltrafastLaneDetectorV2
+    from adas_tpu.perception.object_detector import YoloDetector
+    from adas_tpu.pipeline.multistream import MultiStreamADAS
+    from adas_tpu.utils.types import LaneModelType, ObjectModelType
+
+    out = {}
+    yolo = YoloDetector(
+        model_path=None, model_type=ObjectModelType.YOLOV10, scale="s",
+        input_size=(640, 640), box_score=0.25,
+        compute_dtype="int8", nms_free=True,
+    )
+    lane = UltrafastLaneDetectorV2(
+        model_path=None, model_type=LaneModelType.UFLDV2_CULANE,
+        dtype=jnp.bfloat16,
+    )
+    ms = MultiStreamADAS(
+        yolo, lane, N_STREAMS, frame_hw=(720, 1280),
+        host_downscale=(360, 640), transport="i420",
+    )
+    batches = [
+        rng.integers(0, 255, (N_STREAMS, 720, 1280, 3), dtype=np.uint8)
+        for _ in range(2)
+    ]
+    for b in batches:
+        ms.process_batch(b)
+    out["c5_v10s_int8_nmsfree_8streams"] = {
+        "e2e_fps": round(_pipelined_fps(ms, batches), 2),
+        "compute_fps": round(_compute_fps(ms, batches), 2),
+    }
+
+    frame = rng.integers(0, 255, (720, 1280, 3), dtype=np.uint8)
+    out["c5_efficientdet_d0"] = _latency_config(
+        lambda: EfficientdetDetector(compound=0, box_score=0.3), frame
+    )
     return out
 
 

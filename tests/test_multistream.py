@@ -179,3 +179,29 @@ def test_device_kf_predict_equivalence_and_wiring():
         ms.submit(frames)
     ms.fetch(h, frames)
     assert all(s.tracker.frame_id == 2 for s in ms.streams)
+
+
+def test_multistream_nms_free_v10():
+    """BASELINE config-5 serving shape: the v10 one-to-one head inside
+    the batched step, no NMS stage."""
+    yolo = YoloDetector(
+        model_path=None, model_type=ObjectModelType.YOLOV10, scale="n",
+        input_size=(160, 160), box_score=0.05, nms_free=True,
+    )
+    lane = UltrafastLaneDetectorV2(
+        model_path=None, model_type=LaneModelType.UFLDV2_TUSIMPLE
+    )
+    ms = MultiStreamADAS(yolo, lane, 2, frame_hw=(180, 320), mesh=None)
+    frames = np.random.default_rng(2).integers(
+        0, 255, (2, 180, 320, 3), dtype=np.uint8
+    )
+    results = ms.process_batch(frames)
+    assert len(results) == 2
+
+    # per-stream detections equal the single-frame nms_free facade path
+    yolo.DetectFrame(frames[0])
+    single = [(o.tolist(), round(o.conf, 5)) for o in yolo.object_info]
+    batched = [
+        (o.tolist(), round(o.conf, 5)) for o in results[0]["objects"]
+    ]
+    assert single == batched
