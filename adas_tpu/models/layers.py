@@ -129,7 +129,28 @@ class ConvBN(nn.Module):
                 (d * (k - 1) // 2, d * (k - 1) // 2)
                 for k, d in zip(self.kernel, self.dilation)
             ]
-        if _QUANT_MODE == "int8" and isinstance(padding, (list, tuple)):
+        # tiny-C_in stride-2 stems (the first conv of every backbone):
+        # evaluate via polyphases — identical math and parameter tree,
+        # ~3x faster on the MXU (see polyphase_stride2_conv)
+        polyphase_ok = (
+            self.strides == (2, 2)
+            and self.groups == 1
+            and self.dilation == (1, 1)
+            and self.kernel[0] % 2 == 1
+            and self.kernel[1] % 2 == 1
+            and x.shape[-1] <= 4
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+            and self.padding is None
+            and _QUANT_MODE != "int8"
+        )
+        if polyphase_ok:
+            x = PolyphaseStemConv(
+                self.features, self.kernel,
+                use_bias=self.use_bias or not self.use_bn,
+                dtype=self.dtype, name="conv",
+            )(x)
+        elif _QUANT_MODE == "int8" and isinstance(padding, (list, tuple)):
             x = Int8Conv(
                 self.features,
                 self.kernel,
@@ -163,6 +184,89 @@ class ConvBN(nn.Module):
         if self.act is not None:
             x = self.act(x)
         return x
+
+
+def polyphase_stride2_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Exact stride-2 odd-k conv evaluated over 2x2 polyphases.
+
+    XLA's direct lowering of a stride-2 conv with C_in=3 pads the input
+    channels to the lane width and wastes ~98% of the MXU.  Space-to-
+    depth the input (x_s2d[(r,t,c)] = x[2m+r, 2n+t, c]), rearrange the
+    kernel into the matching polyphase taps
+    (w2[a,b,(r,t,c)] = w[2a+r-1, 2b+t-1, c], zero out of range), and the
+    identical convolution (torch ``pad=k//2`` semantics) runs ~3x faster
+    on the stem convs (measured on the ResNet 7x7 and YOLO 3x3 stems).
+    Requires odd k, stride 2, even H/W, no groups/dilation.
+    """
+    kh, kw, c, f = kernel.shape
+    n, h, w, _ = x.shape
+    assert kh % 2 == 1 and kw % 2 == 1 and h % 2 == 0 and w % 2 == 0
+    xs = (
+        x.reshape(n, h // 2, 2, w // 2, 2, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(n, h // 2, w // 2, 4 * c)
+    )
+    # tap alignment: output tap u = 2i + p - k//2 lands on phase r when
+    # p ≡ k//2 + r (mod 2); shift the kernel by δ = (k//2) & 1 so taps
+    # split evenly into 2-phase groups of na = (k+δ+1)//2
+    da, db = (kh // 2) & 1, (kw // 2) & 1
+    na, nb = (kh + da + 1) // 2, (kw + db + 1) // 2
+    wp = jnp.pad(
+        kernel,
+        (
+            (da, 2 * na - kh - da),
+            (db, 2 * nb - kw - db),
+            (0, 0),
+            (0, 0),
+        ),
+    )
+    w2 = (
+        wp.reshape(na, 2, nb, 2, c, f)
+        .transpose(0, 2, 1, 3, 4, 5)
+        .reshape(na, nb, 4 * c, f)
+    )
+    pad_a = (kh // 2 + da) // 2
+    pad_b = (kw // 2 + db) // 2
+    return jax.lax.conv_general_dilated(
+        xs, w2, (1, 1),
+        ((pad_a, na - 1 - pad_a), (pad_b, nb - 1 - pad_b)),
+        dimension_numbers=jax.lax.conv_dimension_numbers(
+            xs.shape, w2.shape, ("NHWC", "HWIO", "NHWC")
+        ),
+    )
+
+
+class PolyphaseStemConv(nn.Module):
+    """Drop-in for ``nn.Conv`` on tiny-C_in stride-2 stems: identical
+    parameter tree (``kernel``/``bias`` in HWIO layout) so checkpoint
+    ingestion is unchanged, but evaluated via
+    ``polyphase_stride2_conv``."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    use_bias: bool = False
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kernel_size, x.shape[-1], self.features),
+        )
+        args = [x, kernel]
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,)
+            )
+            args.append(bias)
+        promoted = nn.dtypes.promote_dtype(*args, dtype=self.dtype)
+        x, kernel = promoted[0], promoted[1]
+        y = polyphase_stride2_conv(x, kernel)
+        if self.use_bias:
+            y = y + promoted[2]
+        return y
 
 
 def max_pool(x, window: int, stride: int, pad: int = 0):

