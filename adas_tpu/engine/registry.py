@@ -72,7 +72,7 @@ def _yolo(family: str, name: str):
 
 
 for _name, _family in (
-    ("YOLOV5", "v5"), ("YOLOV5_LITE", "v5"), ("YOLOV6", "v6"),
+    ("YOLOV5", "v5"), ("YOLOV5_LITE", "v5lite"), ("YOLOV6", "v6"),
     ("YOLOV7", "v7"), ("YOLOV8", "v8"), ("YOLOV9", "v9"),
     ("YOLOV10", "v10"),
 ):

@@ -606,6 +606,15 @@ class YoloV10(nn.Module):
 def build_yolo(spec: YoloSpec) -> nn.Module:
     if spec.family == "v5":
         return YoloV5(spec)
+    if spec.family == "v5lite":
+        from .yolov5lite import V5LITE_PLANS, YoloV5Lite
+
+        if spec.scale not in V5LITE_PLANS:
+            spec = YoloSpec(
+                family="v5lite", scale="s",
+                num_classes=spec.num_classes, input_size=spec.input_size,
+            )
+        return YoloV5Lite(spec)
     if spec.family == "v6":
         from .yolov6 import _V6_SCALES, YoloV6
 

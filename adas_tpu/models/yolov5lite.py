@@ -1,0 +1,189 @@
+"""YOLOv5-Lite (ppogg/YOLOv5-Lite e/s) in flax — the real ShuffleNetV2
+trunk, not the v5 stand-in previously aliased.
+
+The reference supports v5-Lite exports as a *decode contract*: the ONNX
+graph stops before the anchor/grid transform and emits sigmoided
+``(N, 5+nc)`` rows, which ``YoloLiteParameters.lite_postprocess``
+(reference ObjectDetector/yoloDetector.py:18-50) grid-decodes on the
+host.  This module supplies the matching *network*: the upstream
+v5-Lite-e/s topology —
+
+* ``StemBlock`` — 3×3/2 conv, then a (1×1 → 3×3/2) conv branch concat a
+  2×2 ceil-mode max-pool branch, fused by a 1×1 conv (upstream
+  models/common.py StemBlock).  Output stride 4.
+* ``ShuffleV2Block`` — the ShuffleNetV2 unit: stride-1 form splits
+  channels and transforms one half (1×1 → 3×3dw → 1×1, ReLU on the
+  pointwise convs), stride-2 form transforms both branches; concat then
+  channel-shuffle with 2 groups.
+* v5-style PAN neck at a single width (96 for s, 64 for e) built from
+  ``C3`` blocks, lateral 1×1 reductions and nearest-2× upsampling.
+* Anchor head: per-level 1×1 convs to ``na*(5+nc)`` channels.  The
+  serving output applies sigmoid and flattens **anchor-major** per level
+  (``(b, na, h, w, no) → (b, na·h·w, no)``) so row order matches the
+  reference's ``np.tile(grid, (na, 1))`` decode — consumed here by
+  ``ops/yolo_decode.v5lite_grid_decode``.
+
+Activation convention: ReLU inside shuffle blocks (ShuffleNetV2) and
+SiLU in the Conv/C3 neck cells, matching the v5 family default.  The
+e/s channel plans follow the upstream v5lite-e/s yamls; checkpoint
+fidelity is validated structurally (full-tree bijection) like the other
+families — no pretrained weights exist in this offline environment.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .layers import ConvBN, resize_nearest_2x
+from .yolo import C3, V5_ANCHORS, YoloSpec
+
+#: scale -> (stem_ch, (stage1, stage2, stage3) ch, per-stage stride-1
+#: repeats, neck/head width)
+V5LITE_PLANS = {
+    "e": (24, (48, 96, 192), (3, 7, 3), 64),
+    "s": (32, (116, 232, 464), (3, 7, 3), 96),
+}
+
+
+def channel_shuffle2(x: jnp.ndarray) -> jnp.ndarray:
+    """ShuffleNetV2 channel shuffle with 2 groups (NHWC): interleave the
+    two concatenated branch halves."""
+    b, h, w, c = x.shape
+    return (
+        x.reshape(b, h, w, 2, c // 2)
+        .transpose(0, 1, 2, 4, 3)
+        .reshape(b, h, w, c)
+    )
+
+
+class StemBlock(nn.Module):
+    """v5-Lite stem (upstream models/common.py StemBlock): output
+    stride 4 via two stride-2 convs on one branch and conv+maxpool on
+    the other."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.features
+        s1 = ConvBN(c, (3, 3), strides=(2, 2), name="stem_1")(x, train)
+        y = ConvBN(c // 2, (1, 1), name="stem_2a")(s1, train)
+        y = ConvBN(c, (3, 3), strides=(2, 2), name="stem_2b")(y, train)
+        # torch MaxPool2d(2, 2, ceil_mode=True): pad bottom/right when odd
+        h, w = s1.shape[1], s1.shape[2]
+        p = nn.max_pool(
+            s1, (2, 2), strides=(2, 2),
+            padding=((0, h % 2), (0, w % 2)),
+        )
+        return ConvBN(c, (1, 1), name="stem_3")(
+            jnp.concatenate([y, p], axis=-1), train
+        )
+
+
+class ShuffleV2Block(nn.Module):
+    """ShuffleNetV2 unit (upstream Shuffle_Block).  ``features`` is the
+    block output width; each branch carries ``features // 2``."""
+
+    features: int
+    strides: Tuple[int, int] = (1, 1)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bf = self.features // 2
+        down = self.strides != (1, 1)
+        if down:
+            b1 = ConvBN(
+                x.shape[-1], (3, 3), strides=self.strides,
+                groups=x.shape[-1], act=None, name="b1_dw",
+            )(x, train)
+            b1 = ConvBN(bf, (1, 1), act=nn.relu, name="b1_pw")(b1, train)
+            b2_in = x
+        else:
+            b1, b2_in = jnp.split(x, 2, axis=-1)
+        y = ConvBN(bf, (1, 1), act=nn.relu, name="b2_pw1")(b2_in, train)
+        y = ConvBN(
+            bf, (3, 3), strides=self.strides, groups=bf, act=None,
+            name="b2_dw",
+        )(y, train)
+        y = ConvBN(bf, (1, 1), act=nn.relu, name="b2_pw2")(y, train)
+        return channel_shuffle2(jnp.concatenate([b1, y], axis=-1))
+
+
+class LiteBackbone(nn.Module):
+    """StemBlock + three ShuffleNetV2 stages → (P3, P4, P5) at strides
+    (8, 16, 32)."""
+
+    scale: str = "s"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        stem_ch, stages, repeats, _ = V5LITE_PLANS[self.scale]
+        x = StemBlock(stem_ch, name="stem")(x, train)
+        feats = []
+        for si, (ch, reps) in enumerate(zip(stages, repeats)):
+            x = ShuffleV2Block(
+                ch, strides=(2, 2), name=f"stage{si}_down"
+            )(x, train)
+            for ri in range(reps):
+                x = ShuffleV2Block(ch, name=f"stage{si}_{ri}")(x, train)
+            feats.append(x)
+        return tuple(feats)
+
+
+class LitePAN(nn.Module):
+    """v5-style PAN at a single width (upstream v5lite yaml head):
+    lateral 1×1s, nearest-2× up, C3 fusions, stride-2 down path that
+    concatenates the lateral outputs."""
+
+    scale: str = "s"
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        p3, p4, p5 = feats
+        w = V5LITE_PLANS[self.scale][3]
+        l5 = ConvBN(w, (1, 1), name="lat5")(p5, train)
+        y = jnp.concatenate([resize_nearest_2x(l5), p4], axis=-1)
+        t4 = C3(w, 1, False, name="fpn4")(y, train)
+        l4 = ConvBN(w, (1, 1), name="lat4")(t4, train)
+        y = jnp.concatenate([resize_nearest_2x(l4), p3], axis=-1)
+        n3 = C3(w, 1, False, name="fpn3")(y, train)
+        y = ConvBN(w, (3, 3), strides=(2, 2), name="pan3")(n3, train)
+        n4 = C3(w, 1, False, name="pan4")(
+            jnp.concatenate([y, l4], axis=-1), train
+        )
+        y = ConvBN(w, (3, 3), strides=(2, 2), name="pan5_down")(n4, train)
+        n5 = C3(w, 1, False, name="pan5")(
+            jnp.concatenate([y, l5], axis=-1), train
+        )
+        return n3, n4, n5
+
+
+class YoloV5Lite(nn.Module):
+    """v5-Lite-contract detector: sigmoided pre-grid ``(B, N, 5+nc)``
+    rows, anchor-major per level — exactly what the reference's
+    ``lite_postprocess`` (yoloDetector.py:36-50) expects to receive from
+    an export."""
+
+    spec: YoloSpec
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        s = self.spec
+        nc = s.num_classes
+        scale = s.scale if s.scale in V5LITE_PLANS else "s"
+        feats = LiteBackbone(scale, name="backbone")(x, train)
+        feats = LitePAN(scale, name="neck")(feats, train)
+        na = len(V5_ANCHORS[0])
+        outs = []
+        for li, f in enumerate(feats):
+            p = nn.Conv(na * (5 + nc), (1, 1), name=f"head{li}")(f)
+            b, h, w, _ = p.shape
+            p = jax.nn.sigmoid(p.reshape(b, h, w, na, 5 + nc))
+            # anchor-major row order (reference np.tile(grid, (na, 1)))
+            outs.append(
+                p.transpose(0, 3, 1, 2, 4).reshape(b, na * h * w, 5 + nc)
+            )
+        return jnp.concatenate(outs, axis=1)

@@ -35,7 +35,7 @@ DEFAULT_CLASSES = os.path.join(
 
 _FAMILY_OF = {
     ObjectModelType.YOLOV5: "v5",
-    ObjectModelType.YOLOV5_LITE: "v5",
+    ObjectModelType.YOLOV5_LITE: "v5lite",  # ShuffleNetV2 native graph
     ObjectModelType.YOLOV6: "v6",  # EfficientRep/RepPAN native graph
     ObjectModelType.YOLOV7: "v7",  # E-ELAN native graph
     ObjectModelType.YOLOV8: "v8",
@@ -217,6 +217,8 @@ class YoloDetector(ObjectDetectBase):
             scale = "c"  # GELAN-C is the supported v9 variant
         if family == "v6" and scale not in ("n", "s"):
             scale = "s"  # CSPBep (m/l) trunks serve via the ONNX executor
+        if family == "v5lite" and scale not in ("e", "s"):
+            scale = "s"  # g (RepVGG trunk) serves via the ONNX executor
         self.spec = YoloSpec(
             family=family,
             scale=scale,

@@ -238,8 +238,8 @@ def main() -> None:
     ap.add_argument("-o", "--output", required=True, help=".npz output")
     ap.add_argument(
         "--arch", default="ufldv2",
-        choices=["ufldv1", "ufldv2", "resnet",
-                 "yolov5", "yolov8", "yolov10"],
+        choices=["ufldv1", "ufldv2", "resnet", "yolov5", "yolov5lite",
+                 "yolov6", "yolov7", "yolov8", "yolov9", "yolov10"],
     )
     ap.add_argument("--no-fc-norm", action="store_true",
                     help="UFLDv2 variant without the LayerNorm slot")

@@ -409,6 +409,73 @@ def yolov9_mapping(spec: YoloSpec) -> List[tuple]:
     return m
 
 
+# --- YOLOv5-Lite (ppogg ShuffleNetV2 e/s) ---------------------------------
+
+
+def _seqcb_entries(src: str, ci: int, bi: int, dst: Tuple[str, ...]):
+    """torch ``Sequential(Conv2d@ci, BatchNorm2d@bi, ...)`` -> ConvBN."""
+    return [
+        (f"{src}.{ci}.weight", "params", dst + ("conv", "kernel"), _conv),
+        (f"{src}.{bi}.weight", "params", dst + ("bn", "scale"), None),
+        (f"{src}.{bi}.bias", "params", dst + ("bn", "bias"), None),
+        (f"{src}.{bi}.running_mean", "batch_stats",
+         dst + ("bn", "mean"), None),
+        (f"{src}.{bi}.running_var", "batch_stats",
+         dst + ("bn", "var"), None),
+    ]
+
+
+def _shuffle_entries(src: str, dst: Tuple[str, ...], down: bool):
+    """ppogg ``Shuffle_Block``: branch1 = Sequential(dw, bn, pw, bn,
+    relu) (stride-2 form only), branch2 = Sequential(pw, bn, relu, dw,
+    bn, pw, bn, relu) -> models/yolov5lite.ShuffleV2Block."""
+    out = []
+    if down:
+        out += _seqcb_entries(f"{src}.branch1", 0, 1, dst + ("b1_dw",))
+        out += _seqcb_entries(f"{src}.branch1", 2, 3, dst + ("b1_pw",))
+    out += _seqcb_entries(f"{src}.branch2", 0, 1, dst + ("b2_pw1",))
+    out += _seqcb_entries(f"{src}.branch2", 3, 4, dst + ("b2_dw",))
+    out += _seqcb_entries(f"{src}.branch2", 5, 6, dst + ("b2_pw2",))
+    return out
+
+
+def yolov5lite_mapping(spec: YoloSpec) -> List[tuple]:
+    """(src, collection, dst, transform) for ppogg/YOLOv5-Lite e/s
+    checkpoints (v5lite-{e,s}.yaml module-index layout: StemBlock at 0,
+    three Shuffle_Block stages, single-width PAN, Detect at 21)."""
+    from ..models.yolov5lite import V5LITE_PLANS
+
+    scale = spec.scale if spec.scale in V5LITE_PLANS else "s"
+    repeats = V5LITE_PLANS[scale][2]
+    bb = lambda *p: ("backbone",) + p  # noqa: E731
+    nk = lambda *p: ("neck",) + p  # noqa: E731
+    m = []
+    for part in ("stem_1", "stem_2a", "stem_2b", "stem_3"):
+        m += _convbn_entries(f"model.0.{part}", bb("stem", part))
+    idx = 1
+    for si, reps in enumerate(repeats):
+        m += _shuffle_entries(
+            f"model.{idx}", bb(f"stage{si}_down"), down=True
+        )
+        idx += 1
+        for ri in range(reps):
+            m += _shuffle_entries(
+                f"model.{idx}.{ri}", bb(f"stage{si}_{ri}"), down=False
+            )
+        idx += 1
+    m += _convbn_entries("model.7", nk("lat5"))
+    m += [(s, c, nk(*p), t) for s, c, p, t in _c3_entries("model.10", "fpn4", 1)]
+    m += _convbn_entries("model.11", nk("lat4"))
+    m += [(s, c, nk(*p), t) for s, c, p, t in _c3_entries("model.14", "fpn3", 1)]
+    m += _convbn_entries("model.15", nk("pan3"))
+    m += [(s, c, nk(*p), t) for s, c, p, t in _c3_entries("model.17", "pan4", 1)]
+    m += _convbn_entries("model.18", nk("pan5_down"))
+    m += [(s, c, nk(*p), t) for s, c, p, t in _c3_entries("model.20", "pan5", 1)]
+    for li in range(3):
+        m += _plain_conv_entries(f"model.21.m.{li}", (f"head{li}",))
+    return m
+
+
 def yolo_variables(
     state: Dict[str, np.ndarray], spec: YoloSpec
 ) -> dict:
@@ -429,6 +496,8 @@ def yolo_variables(
         mapping = yolov9_mapping(spec)
     elif spec.family == "v10":
         mapping = yolov10_mapping(spec)
+    elif spec.family == "v5lite":
+        mapping = yolov5lite_mapping(spec)
     else:
         raise NotImplementedError(
             f"no checkpoint mapping for family {spec.family!r} yet"

@@ -217,3 +217,29 @@ def test_v6_v7_native_facades(rng):
     assert isinstance(d7.net, YoloV7)
     d7.DetectFrame(frame)
     assert isinstance(d7.object_info, list)
+
+
+def test_v5lite_native_facade(rng):
+    """YOLOV5_LITE builds the real ShuffleNetV2 graph whose output is
+    PRE-grid (reference export contract) — the facade's
+    v5lite_grid_decode then applies the reference lite_postprocess
+    semantics exactly once (previously the v5 stand-in double-decoded)."""
+    from adas_tpu.models.yolov5lite import YoloV5Lite
+
+    frame = rng.integers(0, 255, size=(120, 160, 3)).astype("uint8")
+    for scale in ("e", "s"):
+        det = YoloDetector(
+            model_path=None, model_type=ObjectModelType.YOLOV5_LITE,
+            scale=scale, input_size=(64, 64), box_score=0.3,
+        )
+        assert isinstance(det.net, YoloV5Lite)
+        assert det.spec.family == "v5lite"
+        raw = det.net.apply(
+            det.variables, jnp.zeros((1, 64, 64, 3), jnp.float32)
+        )
+        n = sum(3 * (64 // s) * (64 // s) for s in (8, 16, 32))
+        assert raw.shape == (1, n, 5 + len(det.class_names))
+        # pre-grid contract: every value still sigmoided
+        assert float(raw.min()) >= 0.0 and float(raw.max()) <= 1.0
+        det.DetectFrame(frame)
+        assert isinstance(det.object_info, list)

@@ -23,6 +23,7 @@ from adas_tpu.tools.yolo_import import (
     yolov8_mapping,
     yolov9_mapping,
     yolov10_mapping,
+    yolov5lite_mapping,
 )
 
 
@@ -55,6 +56,7 @@ def _inverse_transform(dst_path, value):
         ("v8", "n"), ("v5", "n"), ("v10", "n"), ("v10", "s"),
         ("v10", "m"), ("v10", "x"),
         ("v6", "n"), ("v6", "s"), ("v7", "l"), ("v9", "c"),
+        ("v5lite", "e"), ("v5lite", "s"),
     ],
 )
 def test_mapping_covers_full_tree_and_roundtrips(family, scale):
@@ -73,6 +75,7 @@ def test_mapping_covers_full_tree_and_roundtrips(family, scale):
     mapping = {
         "v8": yolov8_mapping, "v5": yolov5_mapping, "v10": yolov10_mapping,
         "v6": yolov6_mapping, "v7": yolov7_mapping, "v9": yolov9_mapping,
+        "v5lite": yolov5lite_mapping,
     }[family](spec)
     flat_ref = {
         coll: _flatten(ref[coll]) for coll in ("params", "batch_stats")
@@ -101,6 +104,7 @@ def test_mapping_covers_full_tree_and_roundtrips(family, scale):
         "v6": "detect.proj",
         "v7": "model.105.anchors",
         "v9": "model.22.dfl.conv.weight",
+        "v5lite": "model.21.anchors",
     }[family]
     state[buffer_key] = rng.normal(size=(3,)).astype(np.float32)
     # skipped buffers must be tolerated
