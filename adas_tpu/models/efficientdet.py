@@ -1,4 +1,4 @@
-"""EfficientDet (D0–D2) in flax: EfficientNet trunk + BiFPN + anchor heads.
+"""EfficientDet (D0–D7) in flax: EfficientNet trunk + BiFPN + anchor heads.
 
 The reference runs EfficientDet only through a pre-exported ONNX model
 whose graph already contains decode+NMS and returns an already-NMSed
@@ -26,10 +26,18 @@ import jax.numpy as jnp
 import numpy as np
 
 # (width_mult, depth_mult, input_size, fpn_channels, fpn_layers, head_layers)
+# — the zylo117 compound table (reference consumes their exports,
+# efficientdetDetector.py:38): backbones B0..B6 (d7 reuses B6) with
+# fpn_num_filters / fpn_cell_repeats / box_class_repeats rows d0..d7
 _D_CONFIGS = {
     0: (1.0, 1.0, 512, 64, 3, 3),
     1: (1.0, 1.1, 640, 88, 4, 3),
     2: (1.1, 1.2, 768, 112, 5, 3),
+    3: (1.2, 1.4, 896, 160, 6, 4),
+    4: (1.4, 1.8, 1024, 224, 7, 4),
+    5: (1.6, 2.2, 1280, 288, 7, 4),
+    6: (1.8, 2.6, 1280, 384, 8, 5),
+    7: (1.8, 2.6, 1536, 384, 8, 5),
 }
 
 # EfficientNet-B0 stage table: expand, kernel, stride, channels, repeats
@@ -217,6 +225,9 @@ class BiFPNLayer(nn.Module):
 
     channels: int
     first_time: bool = False
+    #: fast-attention weighted fusion; zylo117 disables it for d6/d7
+    #: (``use_attention = compound < 6``) in favor of a plain sum
+    attention: bool = True
     dtype: object = jnp.float32
 
     @staticmethod
@@ -226,6 +237,8 @@ class BiFPNLayer(nn.Module):
         return x.reshape(b, h * 2, w * 2, c)
 
     def _fuse(self, name, inputs):
+        if not self.attention:
+            return nn.silu(sum(inputs))
         w = self.param(
             name, nn.initializers.ones, (len(inputs),), jnp.float32
         )
@@ -339,7 +352,8 @@ class PredictionHead(nn.Module):
 class EfficientDetSpec:
     compound: int = 0
     num_classes: int = 90
-    anchor_scale: float = 4.0
+    #: None -> zylo117 default (4.0; 5.0 for d7)
+    anchor_scale: object = None
 
     @property
     def config(self):
@@ -348,6 +362,12 @@ class EfficientDetSpec:
     @property
     def input_size(self) -> int:
         return self.config[2]
+
+    @property
+    def resolved_anchor_scale(self) -> float:
+        if self.anchor_scale is not None:
+            return float(self.anchor_scale)
+        return 5.0 if self.compound == 7 else 4.0
 
 
 def build_anchors(
@@ -418,7 +438,8 @@ class EfficientDet(nn.Module):
 
         for i in range(fpn_layers):
             feats = BiFPNLayer(
-                fpn_ch, first_time=(i == 0), dtype=self.dtype,
+                fpn_ch, first_time=(i == 0),
+                attention=self.spec.compound < 6, dtype=self.dtype,
                 name=f"bifpn{i}",
             )(feats, train=train)
 
@@ -439,7 +460,7 @@ class EfficientDet(nn.Module):
             [o.reshape(b, -1, 4) for o in box_outs], axis=1
         )
         anchors = jnp.asarray(
-            build_anchors(x.shape[1], self.spec.anchor_scale),
+            build_anchors(x.shape[1], self.spec.resolved_anchor_scale),
             self.dtype,
         )
         boxes = decode_boxes(box, anchors)

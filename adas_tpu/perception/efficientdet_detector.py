@@ -24,7 +24,7 @@ from .object_detector import ObjectDetectBase
 
 
 class EfficientdetDetector(ObjectDetectBase):
-    """EfficientDet-D{0..2}; ``compound`` picks the scale."""
+    """EfficientDet-D{0..7}; ``compound`` picks the scale."""
 
     _defaults = {
         "model_path": None,

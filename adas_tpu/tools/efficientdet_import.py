@@ -110,11 +110,13 @@ def efficientdet_mapping(spec: EfficientDetSpec) -> List[tuple]:
             "conv4_down", "conv5_down", "conv6_down", "conv7_down",
         ):
             m += _sep_entries(f"{src}.{name}", (dst0, name))
-        for w in (
-            "p6_w1", "p5_w1", "p4_w1", "p3_w1",
-            "p4_w2", "p5_w2", "p6_w2", "p7_w2",
-        ):
-            m += [(f"{src}.{w}", "params", (dst0, w), None)]
+        if spec.compound < 6:  # d6/d7 BiFPN is plain-sum (no attention
+            # weights on either side — zylo117 use_attention=False)
+            for w in (
+                "p6_w1", "p5_w1", "p4_w1", "p3_w1",
+                "p4_w2", "p5_w2", "p6_w2", "p7_w2",
+            ):
+                m += [(f"{src}.{w}", "params", (dst0, w), None)]
         if li == 0:
             for name in (
                 "p3_down_channel", "p4_down_channel", "p5_down_channel",

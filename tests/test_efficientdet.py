@@ -190,3 +190,47 @@ class TestZylo117Ingestion:
         assert det.spec.num_classes == 90
         det.DetectFrame(np.zeros((512, 512, 3), np.uint8))
         assert isinstance(det.object_info, list)
+
+
+def test_compound_table_d0_d7():
+    """zylo117 compound parity: block counts per backbone, d6/d7 plain-sum
+    BiFPN, d7 anchor scale 5.0, input sizes."""
+    from adas_tpu.models.efficientdet import (
+        EfficientDetSpec, _D_CONFIGS, mbconv_plan,
+    )
+
+    # official EfficientNet block counts B0..B6 (d7 reuses B6)
+    expected_blocks = {0: 16, 1: 23, 2: 23, 3: 26, 4: 32, 5: 39, 6: 45, 7: 45}
+    expected_inputs = {0: 512, 1: 640, 2: 768, 3: 896, 4: 1024,
+                       5: 1280, 6: 1280, 7: 1536}
+    for d, (w, dep, size, fpn_ch, fpn_layers, head_layers) in _D_CONFIGS.items():
+        assert len(mbconv_plan(w, dep)) == expected_blocks[d]
+        spec = EfficientDetSpec(compound=d)
+        assert spec.input_size == expected_inputs[d]
+        assert spec.resolved_anchor_scale == (5.0 if d == 7 else 4.0)
+    assert _D_CONFIGS[6][3:] == (384, 8, 5)
+
+
+def test_d3_graph_builds_and_runs_small():
+    """The scaled trunk/fpn/head wiring is valid beyond d2 (tiny input —
+    anchors are computed from the traced shape, not spec.input_size)."""
+    import jax
+
+    from adas_tpu.models.efficientdet import EfficientDet, EfficientDetSpec
+
+    spec = EfficientDetSpec(compound=3, num_classes=4)
+    net = EfficientDet(spec)
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), x)
+    boxes, probs = net.apply(variables, x)
+    assert boxes.shape[-1] == 4 and probs.shape[-1] == 4
+
+
+def test_d6_mapping_has_no_attention_weights():
+    from adas_tpu.models.efficientdet import EfficientDetSpec
+    from adas_tpu.tools.efficientdet_import import efficientdet_mapping
+
+    srcs6 = [e[0] for e in efficientdet_mapping(EfficientDetSpec(compound=6))]
+    assert not any("_w1" in s or "_w2" in s for s in srcs6)
+    srcs0 = [e[0] for e in efficientdet_mapping(EfficientDetSpec(compound=0))]
+    assert any("p6_w1" in s for s in srcs0)
