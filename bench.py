@@ -110,10 +110,27 @@ def _staged(ms, batches, ticks: int = 12) -> dict:
             flat = ms._fetch_flat(h)
         with timers.stage("host_analytics"):
             ms._analytics(flat, frames)
-    return {
+    # tracker load: mean valid detections per frame entering ByteTrack
+    # (random-weight sigmoid scores cluster ~0.5, so the max_det cap is
+    # typically saturated — i.e. the bench exercises WORST-CASE host
+    # tracker/NMS-consumer density, not an empty-scene best case)
+    from adas_tpu.ops.packing import unpack
+
+    spec = ms._spec_holder["spec"]
+    dets_per_frame = float(
+        np.mean(
+            [
+                len(ms.yolo._dets_to_rectinfo(np.asarray(unpack(flat[i], spec)[0])))
+                for i in range(flat.shape[0])
+            ]
+        )
+    )
+    out = {
         k: {"p50": round(v["p50_ms"], 2), "p95": round(v["p95_ms"], 2)}
         for k, v in timers.summary().items()
     }
+    out["dets_per_frame"] = round(dets_per_frame, 1)
+    return out
 
 
 def _latency_config(build_detector, frame, reps: int = 15) -> dict:
