@@ -115,3 +115,45 @@ class TestEfficientDetOnnx:
         info = det.object_info[0]
         assert info.label == det.class_names[2]
         assert list(info.tolist(format_type="xywh")) == [10, 20, 100, 200]
+
+
+class TestV5LiteOnnxContract:
+    def test_pre_grid_export_grid_decodes(self, tmp_path):
+        """A v5-Lite-contract export (sigmoided PRE-grid rows, reference
+        yoloDetector.py:36-50) executed via the XLA graph engine must be
+        grid-decoded by the facade exactly once: a planted row at level-0
+        cell (40, 40), anchor 0 maps to center (328, 328), w=10, h=13."""
+        nc = 80
+        n = sum(3 * (640 // s) * (640 // s) for s in (8, 16, 32))
+        preds = np.full((1, n, 5 + nc), 0.001, np.float32)
+        row = 0 * 80 * 80 + 40 * 80 + 40  # anchor 0, y=40, x=40 @ stride 8
+        preds[0, row, 0:2] = 0.75          # xy: (0.75*2-0.5+40)*8 = 328
+        preds[0, row, 2:4] = 0.5           # wh: (0.5*2)^2 * (10, 13)
+        preds[0, row, 4] = 0.9
+        preds[0, row, 5 + 3] = 0.9
+        nodes = [
+            W.make_node("ReduceMean", ["images"], ["m"], keepdims=0),
+            W.make_node("Mul", ["m", "zero"], ["z"]),
+            W.make_node("Add", ["planted", "z"], ["output"]),
+        ]
+        model = W.simple_model(
+            nodes,
+            [("images", np.float32, (1, 3, 640, 640))],
+            [("output", np.float32, (1, n, 5 + nc))],
+            initializers={"planted": preds, "zero": np.float32(0.0)},
+        )
+        path = tmp_path / "v5lite_s.onnx"
+        path.write_bytes(model)
+        det = YoloDetector(
+            model_path=str(path), model_type=ObjectModelType.YOLOV5_LITE,
+            box_score=0.4,
+        )
+        assert det.engine is not None
+        det.DetectFrame(np.zeros((640, 640, 3), np.uint8))
+        assert len(det.object_info) == 1
+        info = det.object_info[0]
+        x, y, w, h = info.tolist(format_type="xywh")
+        assert (w, h) == (10, 13)
+        # RectInfo coords are ints; the odd height floors the center
+        assert abs(x + w / 2 - 328) <= 0.5 and abs(y + h / 2 - 328) <= 0.5
+        assert info.label == det.class_names[3]
