@@ -72,26 +72,10 @@ class Int8Conv(nn.Module):
             (kh, kw, in_per_group, self.features),
             jnp.float32,
         )
-        kernel = jnp.asarray(kernel, jnp.float32)
-        wmax = jnp.max(jnp.abs(kernel), axis=(0, 1, 2), keepdims=True)
-        wscale = jnp.maximum(wmax, 1e-8) / 127.0
-        wq = jnp.clip(jnp.round(kernel / wscale), -127, 127).astype(jnp.int8)
-        xf = x.astype(jnp.float32)
-        xmax = jnp.max(jnp.abs(xf))
-        xscale = jnp.maximum(xmax, 1e-12) / 127.0
-        xq = jnp.clip(jnp.round(xf / xscale), -127, 127).astype(jnp.int8)
-        acc = jax.lax.conv_general_dilated(
-            xq,
-            wq,
-            self.strides,
-            [tuple(p) for p in self.padding],
-            rhs_dilation=self.kernel_dilation,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        y = int8_conv_apply(
+            x, kernel, self.strides, self.padding,
             feature_group_count=self.feature_group_count,
-            preferred_element_type=jnp.int32,
-        )
-        y = acc.astype(jnp.float32) * (
-            wscale.reshape(1, 1, 1, -1) * xscale
+            kernel_dilation=self.kernel_dilation,
         )
         if self.use_bias:
             bias = self.param(
@@ -99,6 +83,38 @@ class Int8Conv(nn.Module):
             )
             y = y + bias
         return y
+
+
+def int8_conv_apply(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    strides: Tuple[int, int],
+    padding: Sequence[Tuple[int, int]],
+    feature_group_count: int = 1,
+    kernel_dilation: Tuple[int, int] = (1, 1),
+) -> jnp.ndarray:
+    """The W8A8 conv math of :class:`Int8Conv` as a free function, so
+    modules that own their kernel param (ResNet stem, plain-nn.Conv
+    blocks) can run it without changing their parameter tree."""
+    kernel = jnp.asarray(kernel, jnp.float32)
+    wmax = jnp.max(jnp.abs(kernel), axis=(0, 1, 2), keepdims=True)
+    wscale = jnp.maximum(wmax, 1e-8) / 127.0
+    wq = jnp.clip(jnp.round(kernel / wscale), -127, 127).astype(jnp.int8)
+    xf = x.astype(jnp.float32)
+    xmax = jnp.max(jnp.abs(xf))
+    xscale = jnp.maximum(xmax, 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(xf / xscale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(
+        xq,
+        wq,
+        strides,
+        [tuple(p) for p in padding],
+        rhs_dilation=kernel_dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=feature_group_count,
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * (wscale.reshape(1, 1, 1, -1) * xscale)
 
 
 class ConvBN(nn.Module):

@@ -14,9 +14,25 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from . import layers as _layers
 from .layers import max_pool
 
 _NHWC = ("NHWC", "HWIO", "NHWC")
+
+
+def _conv(features, kernel, strides=(1, 1), padding=((0, 0), (0, 0)),
+          dtype=jnp.float32, name=None):
+    """nn.Conv (bias-free) or, under ``quantized("int8")``, Int8Conv with
+    the identical ``{name}/kernel`` parameter tree — the same trace-time
+    switch ConvBN uses, extended to the torchvision-layout trunk."""
+    if _layers._QUANT_MODE == "int8":
+        return _layers.Int8Conv(
+            features, kernel, strides=strides, padding=padding, name=name
+        )
+    return nn.Conv(
+        features, kernel, strides=strides, padding=padding,
+        use_bias=False, dtype=dtype, name=name,
+    )
 
 
 class StemConv(nn.Module):
@@ -45,6 +61,12 @@ class StemConv(nn.Module):
             (7, 7, c, self.features),
         )
         h, w = x.shape[1], x.shape[2]
+        if _layers._QUANT_MODE == "int8":
+            from .layers import int8_conv_apply
+
+            return int8_conv_apply(
+                x, kernel, (2, 2), ((3, 3), (3, 3))
+            )
         x = x.astype(self.dtype)
         kernel = kernel.astype(self.dtype)
         if h % 2 or w % 2:  # odd inputs: fall back to the direct conv
@@ -67,18 +89,17 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
-        y = nn.Conv(
+        y = _conv(
             self.features, (3, 3), strides=(self.strides, self.strides),
-            padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
-            name="conv1",
+            padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1",
         )(x)
         y = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="bn1",
         )(y)
         y = nn.relu(y)
-        y = nn.Conv(
-            self.features, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+        y = _conv(
+            self.features, (3, 3), padding=((1, 1), (1, 1)),
             dtype=self.dtype, name="conv2",
         )(y)
         y = nn.BatchNorm(
@@ -86,9 +107,9 @@ class BasicBlock(nn.Module):
             dtype=self.dtype, name="bn2",
         )(y)
         if self.strides != 1 or x.shape[-1] != self.features:
-            identity = nn.Conv(
+            identity = _conv(
                 self.features, (1, 1), strides=(self.strides, self.strides),
-                use_bias=False, dtype=self.dtype, name="downsample_conv",
+                dtype=self.dtype, name="downsample_conv",
             )(x)
             identity = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
@@ -113,22 +134,19 @@ class Bottleneck(nn.Module):
                 dtype=self.dtype, name=name,
             )
 
-        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv1")(x)
+        y = _conv(self.features, (1, 1), dtype=self.dtype, name="conv1")(x)
         y = nn.relu(bn("bn1")(y))
-        y = nn.Conv(
+        y = _conv(
             self.features, (3, 3), strides=(self.strides, self.strides),
-            padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
-            name="conv2",
+            padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2",
         )(y)
         y = nn.relu(bn("bn2")(y))
-        y = nn.Conv(out_features, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv3")(y)
+        y = _conv(out_features, (1, 1), dtype=self.dtype, name="conv3")(y)
         y = bn("bn3")(y)
         if self.strides != 1 or x.shape[-1] != out_features:
-            identity = nn.Conv(
+            identity = _conv(
                 out_features, (1, 1), strides=(self.strides, self.strides),
-                use_bias=False, dtype=self.dtype, name="downsample_conv",
+                dtype=self.dtype, name="downsample_conv",
             )(x)
             identity = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,

@@ -10,12 +10,14 @@ host->device once as uint8 and only compact coordinate tensors return.
 """
 from __future__ import annotations
 
+import contextlib
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..models.layers import quantized
 from ..models.ufld import (
     UFLDV1_SPECS,
     UFLDV2_SPECS,
@@ -138,6 +140,12 @@ class UltrafastLaneDetectorV2(LaneDetectBase):
         self.engine = engine
 
         self.spec = UFLDV2_SPECS[self.model_type]
+        # dtype="int8" runs the ResNet trunk convs as W8A8 int8 MXU convs
+        # (models/resnet._conv); the FC head stays f32 to protect the
+        # row/col-anchor logits (same policy as ConvBN's final predictors)
+        self._quant = "int8" if dtype == "int8" else None
+        if self._quant:
+            dtype = jnp.float32
         if engine is None:
             self.net = UFLDv2Net(self.spec, dtype=dtype)
             self.variables = _load_weights(
@@ -165,6 +173,7 @@ class UltrafastLaneDetectorV2(LaneDetectBase):
         Jit cache keyed on the source frame shape."""
         spec, net = self.spec, self.net
         spec_holder = {}
+        quant_mode = getattr(self, "_quant", None)
 
         @jax.jit
         def step(variables, frame_bgr):
@@ -172,7 +181,10 @@ class UltrafastLaneDetectorV2(LaneDetectBase):
                 frame_bgr[None], spec.input_height, spec.input_width,
                 spec.crop_ratio, dtype=net.dtype,
             )
-            outputs = net.apply(variables, x)
+            # fresh context per trace: jit re-traces per frame shape and
+            # quantized() is a single-use contextmanager
+            with quantized(quant_mode) if quant_mode else contextlib.nullcontext():
+                outputs = net.apply(variables, x)
             outputs = {k: v.astype(jnp.float32) for k, v in outputs.items()}
             decoded = ufld_v2_decode(outputs)
             # pack the 4 decode tensors: ONE device->host transfer per frame
@@ -317,6 +329,9 @@ class UltrafastLaneDetector(LaneDetectBase):
         self.engine = engine
 
         self.spec = UFLDV1_SPECS[self.model_type]
+        self._quant = "int8" if dtype == "int8" else None
+        if self._quant:
+            dtype = jnp.float32
         if engine is None:
             self.net = UFLDv1Net(self.spec, dtype=dtype)
             self.variables = _load_weights(
@@ -334,6 +349,7 @@ class UltrafastLaneDetector(LaneDetectBase):
 
     def _build_step(self):
         spec, net = self.spec, self.net
+        quant_mode = getattr(self, "_quant", None)
 
         @jax.jit
         def step(variables, frame_bgr):
@@ -341,7 +357,8 @@ class UltrafastLaneDetector(LaneDetectBase):
                 frame_bgr[None], spec.input_height, spec.input_width,
                 dtype=net.dtype,
             )
-            logits = net.apply(variables, x).astype(jnp.float32)
+            with quantized(quant_mode) if quant_mode else contextlib.nullcontext():
+                logits = net.apply(variables, x).astype(jnp.float32)
             return ufld_v1_decode(logits)
 
         return step

@@ -158,3 +158,50 @@ class TestV10NmsFree:
         frame = rng.integers(0, 255, (128, 128, 3), dtype=np.uint8)
         det.DetectFrame(np.asarray(frame, np.uint8))
         assert isinstance(det.object_info, list)
+
+
+class TestLaneInt8:
+    """int8 for the UFLD trunk (models/resnet._conv): BASELINE config 5's
+    int8 serving now covers the lane side, not just the YOLO side."""
+
+    def test_ufldv2_int8_runs_and_is_close_to_f32(self, rng):
+        from adas_tpu.perception.lane_detector import UltrafastLaneDetectorV2
+        from adas_tpu.utils.types import LaneModelType
+
+        frame = rng.integers(0, 255, (360, 640, 3)).astype(np.uint8)
+        f32 = UltrafastLaneDetectorV2(
+            model_path=None, model_type=LaneModelType.UFLDV2_CULANE
+        )
+        q = UltrafastLaneDetectorV2(
+            model_path=None, model_type=LaneModelType.UFLDV2_CULANE,
+            dtype="int8",
+        )
+        # identical param tree: the f32 random init serves both modes
+        q.variables = f32.variables
+        f32.DetectFrame(frame)
+        pts_f32 = [np.asarray(p) for p in f32.lane_info.lanes_points]
+        q.DetectFrame(frame)
+        pts_q = [np.asarray(p) for p in q.lane_info.lanes_points]
+        assert len(pts_f32) == len(pts_q) == 4
+        # second shape re-traces the jitted step — the quantized() context
+        # must be fresh per trace
+        q.DetectFrame(rng.integers(0, 255, (480, 854, 3)).astype(np.uint8))
+
+    def test_int8_trunk_features_error_bounded(self, rng):
+        """W8A8 trunk features stay within a few percent of f32 on the
+        same weights (random init, normalized input)."""
+        import jax
+
+        from adas_tpu.models.resnet import ResNetFeatures
+
+        net = ResNetFeatures(depth="18")
+        x = jnp.asarray(rng.standard_normal((1, 64, 96, 3)), jnp.float32)
+        variables = net.init(jax.random.PRNGKey(0), x)
+        f8, f16, f32f = net.apply(variables, x)
+        with quantized("int8"):
+            q8, q16, q32 = jax.jit(
+                lambda v, x: net.apply(v, x)
+            )(variables, x)
+        ref = np.abs(np.asarray(f32f)).mean()
+        err = np.abs(np.asarray(q32) - np.asarray(f32f)).mean()
+        assert err / ref < 0.35  # deep int8 stack on random weights
