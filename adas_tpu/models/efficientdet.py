@@ -25,6 +25,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
+from . import layers as _layers
+
 # (width_mult, depth_mult, input_size, fpn_channels, fpn_layers, head_layers)
 # — the zylo117 compound table (reference consumes their exports,
 # efficientdetDetector.py:38): backbones B0..B6 (d7 reuses B6) with
@@ -50,6 +52,39 @@ _MBCONV_STAGES = [
     (6, 5, 2, 192, 4),
     (6, 3, 1, 320, 1),
 ]
+
+
+
+
+def _same_pads(x_shape, kernel, strides):
+    """TF-SAME padding as explicit (lo, hi) pairs for the two spatial
+    dims of an NHWC input (what lax "SAME" computes internally)."""
+    pads = []
+    for size, k, st in zip(x_shape[1:3], kernel, strides):
+        out = -(-size // st)
+        total = max((out - 1) * st + k - size, 0)
+        pads.append((total // 2, total - total // 2))
+    return pads
+
+
+def _conv_same(x, features, kernel, strides=(1, 1), groups=1,
+               use_bias=False, dtype=jnp.float32, name=None,
+               quantize=True):
+    """SAME-padded conv that becomes a W8A8 Int8Conv (identical
+    ``{name}/kernel[/bias]`` tree) under ``quantized("int8")`` — the
+    EfficientDet analogue of models/resnet._conv.  ``quantize=False``
+    pins final predictors to f32."""
+    if quantize and _layers._QUANT_MODE == "int8":
+        return _layers.Int8Conv(
+            features, kernel, strides=strides,
+            padding=_same_pads(x.shape, kernel, strides),
+            feature_group_count=groups, use_bias=use_bias, name=name,
+        )(x)
+    return nn.Conv(
+        features, kernel, strides=strides, padding="SAME",
+        feature_group_count=groups, use_bias=use_bias, dtype=dtype,
+        name=name,
+    )(x)
 
 
 def _round_channels(c: float, width: float, divisor: int = 8) -> int:
@@ -114,19 +149,17 @@ class MBConv(nn.Module):
         inp = x.shape[-1]
         h = x
         if self.expand != 1:
-            h = nn.Conv(
-                inp * self.expand, (1, 1), use_bias=False,
+            h = _conv_same(
+                h, inp * self.expand, (1, 1),
                 dtype=self.dtype, name="expand_conv",
-            )(h)
+            )
             h = _bn(train, "bn0", self.dtype)(h)
             h = nn.silu(h)
-        h = nn.Conv(
-            h.shape[-1], (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding="SAME",
-            feature_group_count=h.shape[-1],
-            use_bias=False, dtype=self.dtype, name="dw_conv",
-        )(h)
+        h = _conv_same(
+            h, h.shape[-1], (self.kernel, self.kernel),
+            strides=(self.stride, self.stride), groups=h.shape[-1],
+            dtype=self.dtype, name="dw_conv",
+        )
         h = _bn(train, "bn1", self.dtype)(h)
         h = nn.silu(h)
         # squeeze-excite (reduce/expand 1x1 convs with bias)
@@ -140,10 +173,10 @@ class MBConv(nn.Module):
             s
         )
         h = h * nn.sigmoid(s)
-        h = nn.Conv(
-            self.features, (1, 1), use_bias=False,
-            dtype=self.dtype, name="project_conv",
-        )(h)
+        h = _conv_same(
+            h, self.features, (1, 1), dtype=self.dtype,
+            name="project_conv",
+        )
         h = _bn(train, "bn2", self.dtype)(h)
         if self.stride == 1 and inp == self.features:
             h = h + x
@@ -160,11 +193,10 @@ class EfficientNetFeatures(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = nn.Conv(
-            _round_channels(32, self.width), (3, 3), strides=(2, 2),
-            padding="SAME", use_bias=False,
+        h = _conv_same(
+            x, _round_channels(32, self.width), (3, 3), strides=(2, 2),
             dtype=self.dtype, name="stem_conv",
-        )(x)
+        )
         h = _bn(train, "stem_bn", self.dtype)(h)
         h = nn.silu(h)
 
@@ -188,19 +220,21 @@ class SeparableConvBlock(nn.Module):
 
     features: int
     use_bn: bool = True
+    #: False pins this block to f32 under quantized("int8") — used for
+    #: the final box/class "header" projections
+    quantize: bool = True
     dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = nn.Conv(
-            x.shape[-1], (3, 3), padding="SAME",
-            feature_group_count=x.shape[-1], use_bias=False,
-            dtype=self.dtype, name="dw",
-        )(x)
-        h = nn.Conv(
-            self.features, (1, 1), use_bias=True,
-            dtype=self.dtype, name="pw",
-        )(h)
+        h = _conv_same(
+            x, x.shape[-1], (3, 3), groups=x.shape[-1],
+            dtype=self.dtype, name="dw", quantize=self.quantize,
+        )
+        h = _conv_same(
+            h, self.features, (1, 1), use_bias=True,
+            dtype=self.dtype, name="pw", quantize=self.quantize,
+        )
         if self.use_bn:
             h = _bn(train, "bn", self.dtype)(h)
         return h
@@ -214,7 +248,10 @@ class _DownChannel(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="conv")(x)
+        h = _conv_same(
+            x, self.features, (1, 1), use_bias=True, dtype=self.dtype,
+            name="conv",
+        )
         return _bn(train, "bn", self.dtype)(h)
 
 
@@ -335,7 +372,8 @@ class PredictionHead(nn.Module):
             for i in range(self.layers)
         ]
         final = SeparableConvBlock(
-            self.out_features, use_bn=False, dtype=self.dtype, name="header"
+            self.out_features, use_bn=False, quantize=False,
+            dtype=self.dtype, name="header",
         )
         outs = []
         for li, f in enumerate(feats):

@@ -34,6 +34,9 @@ class EfficientdetDetector(ObjectDetectBase):
         "box_nms_iou": 0.5,
         "compound": 0,
         "max_det": 100,
+        # "int8" runs trunk/BiFPN/head convs as W8A8 int8 MXU convs
+        # (models/efficientdet._conv_same); headers stay f32
+        "compute_dtype": None,
     }
 
     def __init__(self, logger=None, engine=None, **kwargs):
@@ -115,11 +118,18 @@ class EfficientdetDetector(ObjectDetectBase):
         iou = float(getattr(self, "box_nms_iou", 0.5))
         max_det = int(getattr(self, "max_det", 100))
         net = self.net
+        quant_mode = getattr(self, "compute_dtype", None)
 
         @jax.jit
         def step(variables, frame_bgr):
+            import contextlib
+
+            from ..models.layers import quantized
+
             x = imagenet_preprocess(frame_bgr[None], geom)
-            boxes, cls_probs = net.apply(variables, x)
+            with quantized(quant_mode) if quant_mode == "int8" \
+                    else contextlib.nullcontext():
+                boxes, cls_probs = net.apply(variables, x)
             boxes, cls_probs = boxes[0], cls_probs[0]
             scores = jnp.max(cls_probs, axis=-1)
             ids = jnp.argmax(cls_probs, axis=-1)

@@ -151,7 +151,13 @@ class MultiStreamADAS:
                 frame_bgr[None], lspec.input_height, lspec.input_width,
                 lspec.crop_ratio, dtype=lnet.dtype,
             )
-            louts = lnet.apply(lane_vars, lx)
+            lane_quant = (
+                quantized("int8")
+                if getattr(lane, "_quant", None) == "int8"
+                else contextlib.nullcontext()
+            )
+            with lane_quant:
+                louts = lnet.apply(lane_vars, lx)
             louts = {k: v.astype(jnp.float32)[0] for k, v in louts.items()}
             lanes = ufld_v2_decode(
                 {k: v[None] for k, v in louts.items()}

@@ -220,7 +220,7 @@ def _config5(rng) -> dict:
     )
     lane = UltrafastLaneDetectorV2(
         model_path=None, model_type=LaneModelType.UFLDV2_CULANE,
-        dtype=jnp.bfloat16,
+        dtype="int8",  # W8A8 trunk — the whole config-5 pair serves int8
     )
     ms = MultiStreamADAS(
         yolo, lane, N_STREAMS, frame_hw=(720, 1280),

@@ -205,3 +205,46 @@ class TestLaneInt8:
         ref = np.abs(np.asarray(f32f)).mean()
         err = np.abs(np.asarray(q32) - np.asarray(f32f)).mean()
         assert err / ref < 0.35  # deep int8 stack on random weights
+
+
+class TestEfficientDetInt8:
+    """int8 for EfficientDet (models/efficientdet._conv_same): config 5's
+    'int8 ... + EfficientDet' pairing is now fully quantizable."""
+
+    def test_facade_int8_runs_same_tree(self, rng):
+        from adas_tpu.perception.efficientdet_detector import (
+            EfficientdetDetector,
+        )
+
+        frame = rng.integers(0, 255, (240, 320, 3)).astype(np.uint8)
+        f32 = EfficientdetDetector(compound=0, box_score=0.3)
+        q = EfficientdetDetector(
+            compound=0, box_score=0.3, compute_dtype="int8"
+        )
+        # identical param tree: serve the same weights in both modes
+        assert jax.tree_util.tree_structure(
+            f32.variables
+        ) == jax.tree_util.tree_structure(q.variables)
+        q.variables = f32.variables
+        q.DetectFrame(frame)
+        assert isinstance(q.object_info, list)
+
+    def test_int8_boxes_close_to_f32(self, rng):
+        import numpy as np
+
+        from adas_tpu.models.efficientdet import (
+            EfficientDet, EfficientDetSpec,
+        )
+        from adas_tpu.models.layers import quantized
+
+        spec = EfficientDetSpec(compound=0, num_classes=6)
+        net = EfficientDet(spec)
+        x = jnp.asarray(rng.standard_normal((1, 128, 128, 3)), jnp.float32)
+        variables = net.init(jax.random.PRNGKey(0), x)
+        boxes_f, probs_f = net.apply(variables, x)
+        with quantized("int8"):
+            boxes_q, probs_q = jax.jit(
+                lambda v, x: net.apply(v, x)
+            )(variables, x)
+        # class probabilities (sigmoid, bounded) stay close
+        assert np.abs(np.asarray(probs_q) - np.asarray(probs_f)).mean() < 0.1
