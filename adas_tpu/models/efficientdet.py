@@ -74,7 +74,7 @@ def _conv_same(x, features, kernel, strides=(1, 1), groups=1,
     ``{name}/kernel[/bias]`` tree) under ``quantized("int8")`` — the
     EfficientDet analogue of models/resnet._conv.  ``quantize=False``
     pins final predictors to f32."""
-    if quantize and _layers._QUANT_MODE == "int8":
+    if quantize and _layers._QUANT_MODE in ("int8", "int8_calib"):
         return _layers.Int8Conv(
             features, kernel, strides=strides,
             padding=_same_pads(x.shape, kernel, strides),

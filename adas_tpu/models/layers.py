@@ -72,10 +72,31 @@ class Int8Conv(nn.Module):
             (kh, kw, in_per_group, self.features),
             jnp.float32,
         )
+        # activation scale: static when a calibrated "act_scales"
+        # collection is served (the TensorRT-calibrator analogue the
+        # reference sketches, convertOnnxToTensorRT.py:28-99); dynamic
+        # per-tensor absmax otherwise.  quantized("int8_calib") RECORDS
+        # the running absmax into the mutable collection instead.
+        xscale = None
+        calibrating = _QUANT_MODE == "int8_calib"
+        if calibrating:
+            seen = self.variable(
+                "act_scales", "xmax", lambda: jnp.zeros((), jnp.float32)
+            )
+            xmax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            seen.value = jnp.maximum(seen.value, xmax)
+        elif self.has_variable("act_scales", "xmax"):
+            xscale = (
+                jnp.maximum(
+                    self.get_variable("act_scales", "xmax"), 1e-12
+                )
+                / 127.0
+            )
         y = int8_conv_apply(
             x, kernel, self.strides, self.padding,
             feature_group_count=self.feature_group_count,
             kernel_dilation=self.kernel_dilation,
+            xscale=xscale,
         )
         if self.use_bias:
             bias = self.param(
@@ -92,17 +113,23 @@ def int8_conv_apply(
     padding: Sequence[Tuple[int, int]],
     feature_group_count: int = 1,
     kernel_dilation: Tuple[int, int] = (1, 1),
+    xscale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """The W8A8 conv math of :class:`Int8Conv` as a free function, so
     modules that own their kernel param (ResNet stem, plain-nn.Conv
-    blocks) can run it without changing their parameter tree."""
+    blocks) can run it without changing their parameter tree.
+
+    ``xscale``: calibrated static activation scale; None computes the
+    dynamic per-tensor absmax (a global reduce before the conv — this is
+    what calibration removes from the critical path)."""
     kernel = jnp.asarray(kernel, jnp.float32)
     wmax = jnp.max(jnp.abs(kernel), axis=(0, 1, 2), keepdims=True)
     wscale = jnp.maximum(wmax, 1e-8) / 127.0
     wq = jnp.clip(jnp.round(kernel / wscale), -127, 127).astype(jnp.int8)
     xf = x.astype(jnp.float32)
-    xmax = jnp.max(jnp.abs(xf))
-    xscale = jnp.maximum(xmax, 1e-12) / 127.0
+    if xscale is None:
+        xmax = jnp.max(jnp.abs(xf))
+        xscale = jnp.maximum(xmax, 1e-12) / 127.0
     xq = jnp.clip(jnp.round(xf / xscale), -127, 127).astype(jnp.int8)
     acc = jax.lax.conv_general_dilated(
         xq,
@@ -158,7 +185,7 @@ class ConvBN(nn.Module):
             and x.shape[1] % 2 == 0
             and x.shape[2] % 2 == 0
             and self.padding is None
-            and _QUANT_MODE != "int8"
+            and _QUANT_MODE not in ("int8", "int8_calib")
         )
         if polyphase_ok:
             x = PolyphaseStemConv(
@@ -166,7 +193,9 @@ class ConvBN(nn.Module):
                 use_bias=self.use_bias or not self.use_bn,
                 dtype=self.dtype, name="conv",
             )(x)
-        elif _QUANT_MODE == "int8" and isinstance(padding, (list, tuple)):
+        elif _QUANT_MODE in ("int8", "int8_calib") and isinstance(
+            padding, (list, tuple)
+        ):
             x = Int8Conv(
                 self.features,
                 self.kernel,

@@ -25,7 +25,7 @@ def _conv(features, kernel, strides=(1, 1), padding=((0, 0), (0, 0)),
     """nn.Conv (bias-free) or, under ``quantized("int8")``, Int8Conv with
     the identical ``{name}/kernel`` parameter tree — the same trace-time
     switch ConvBN uses, extended to the torchvision-layout trunk."""
-    if _layers._QUANT_MODE == "int8":
+    if _layers._QUANT_MODE in ("int8", "int8_calib"):
         return _layers.Int8Conv(
             features, kernel, strides=strides, padding=padding, name=name
         )
@@ -61,7 +61,7 @@ class StemConv(nn.Module):
             (7, 7, c, self.features),
         )
         h, w = x.shape[1], x.shape[2]
-        if _layers._QUANT_MODE == "int8":
+        if _layers._QUANT_MODE in ("int8", "int8_calib"):
             from .layers import int8_conv_apply
 
             return int8_conv_apply(

@@ -111,6 +111,27 @@ class EfficientdetDetector(ObjectDetectBase):
             "(expect .pth/.npz/.onnx or None)"
         )
 
+    def calibrate_int8(self, frames) -> None:
+        """Static activation-scale calibration (see
+        YoloDetector.calibrate_int8); requires compute_dtype='int8'."""
+        if getattr(self, "compute_dtype", None) != "int8":
+            raise ValueError("calibrate_int8 requires compute_dtype='int8'")
+        if self.engine is not None:
+            raise ValueError("calibration needs the native-graph path")
+        from ..tools.quantize import calibrate_act_scales
+
+        s = self.spec.input_size
+
+        def apply_fn(variables, frame):
+            geom = LetterboxGeometry(frame.shape[0], frame.shape[1], s, s)
+            x = imagenet_preprocess(jnp.asarray(frame)[None], geom)
+            return self.net.apply(variables, x, mutable=["act_scales"])
+
+        self.variables = jax.device_put(
+            calibrate_act_scales(apply_fn, self.variables, frames)
+        )
+        self._steps = {}
+
     def _build_step(self, src_shape):
         s = self.spec.input_size
         geom = LetterboxGeometry(src_shape[0], src_shape[1], s, s)

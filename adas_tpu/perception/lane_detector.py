@@ -168,6 +168,28 @@ class UltrafastLaneDetectorV2(LaneDetectBase):
                 f"{self.spec.input_height}x{self.spec.input_width} xla"
             )
 
+    def calibrate_int8(self, frames) -> None:
+        """Static activation-scale calibration (see
+        YoloDetector.calibrate_int8); requires ``dtype="int8"``."""
+        if getattr(self, "_quant", None) != "int8":
+            raise ValueError("calibrate_int8 requires dtype='int8'")
+        if self.engine is not None:
+            raise ValueError("calibration needs the native-graph path")
+        from ..tools.quantize import calibrate_act_scales
+
+        spec, net = self.spec, self.net
+
+        def apply_fn(variables, frame):
+            x = ufld_v2_preprocess(
+                jnp.asarray(frame)[None], spec.input_height,
+                spec.input_width, spec.crop_ratio, dtype=net.dtype,
+            )
+            return net.apply(variables, x, mutable=["act_scales"])
+
+        self.variables = jax.device_put(
+            calibrate_act_scales(apply_fn, self.variables, frames)
+        )
+
     def _build_step(self):
         """uint8 BGR (H, W, 3) -> decoded lane tensors, one jitted graph.
         Jit cache keyed on the source frame shape."""

@@ -309,6 +309,38 @@ class YoloDetector(ObjectDetectBase):
             "(expect .npz/.pth/.onnx or None)"
         )
 
+    def calibrate_int8(self, frames) -> None:
+        """Static activation-scale calibration from sample source frames
+        (the reference's TRT ``Calibrator`` contract — feed real images,
+        convertOnnxToTensorRT.py:28-99).  Records per-conv absmax into an
+        ``act_scales`` collection; later int8 steps quantize activations
+        with those STATIC scales instead of a per-conv dynamic reduce."""
+        if getattr(self, "compute_dtype", None) != "int8":
+            raise ValueError("calibrate_int8 requires compute_dtype='int8'")
+        if self.engine is not None:
+            raise ValueError("calibration needs the native-graph path")
+        from ..tools.quantize import calibrate_act_scales
+
+        h, w = self.spec.input_size
+        v10 = self.spec.family == "v10"
+
+        def apply_fn(variables, frame):
+            geom = LetterboxGeometry(frame.shape[0], frame.shape[1], h, w)
+            x = yolo_preprocess(
+                jnp.asarray(frame)[None], geom, dtype=jnp.float32
+            )
+            kw = dict(mutable=["act_scales"])
+            if v10:
+                return self.net.apply(
+                    variables, x, method=self.net.both, **kw
+                )
+            return self.net.apply(variables, x, **kw)
+
+        self.variables = jax.device_put(
+            calibrate_act_scales(apply_fn, self.variables, frames)
+        )
+        self._steps = {}  # retrace: steps now bake in static scales
+
     def _build_step(self, src_shape):
         h, w = self.spec.input_size
         geom = LetterboxGeometry(src_shape[0], src_shape[1], h, w)

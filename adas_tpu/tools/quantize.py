@@ -106,6 +106,34 @@ def load_int8(path: str, dtype=np.float32) -> dict:
     return dequantize_int8(q, scales, dtype=dtype)
 
 
+def calibrate_act_scales(apply_fn, variables: dict, sample_inputs) -> dict:
+    """Static-activation-scale calibration — the TensorRT int8 calibrator
+    the reference sketches but never ships (convertOnnxToTensorRT.py:
+    28-99, ``Calibrator`` commented out).
+
+    Runs each sample through ``apply_fn(variables, x, mutable=...)``
+    under ``quantized("int8_calib")``; every Int8Conv records the running
+    absmax of its input into an ``act_scales`` collection.  Returns
+    ``variables`` with that collection merged in — serving the result
+    under ``quantized("int8")`` then uses STATIC scales, removing the
+    per-conv global-reduce (dynamic absmax) from the critical path.
+    """
+    import jax.numpy as jnp
+
+    from ..models.layers import quantized
+
+    merged = dict(variables)
+    for x in sample_inputs:
+        with quantized("int8_calib"):
+            _, upd = apply_fn(merged, x)
+        scales = upd["act_scales"]
+        prev = merged.get("act_scales")
+        if prev is not None:
+            scales = jax.tree_util.tree_map(jnp.maximum, prev, scales)
+        merged["act_scales"] = scales
+    return merged
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description="Quantize a .npz weight store")
     ap.add_argument("-i", "--input", required=True, help="input .npz")

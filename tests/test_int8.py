@@ -248,3 +248,84 @@ class TestEfficientDetInt8:
             )(variables, x)
         # class probabilities (sigmoid, bounded) stay close
         assert np.abs(np.asarray(probs_q) - np.asarray(probs_f)).mean() < 0.1
+
+
+class TestInt8Calibration:
+    """Static activation scales (the reference's commented-out TRT
+    Calibrator, convertOnnxToTensorRT.py:28-99, made real)."""
+
+    def test_single_frame_calibration_is_exact(self, rng):
+        """Each layer's recorded absmax equals the dynamic absmax of the
+        same tensor layer by layer, so serving the calibration input with
+        static scales reproduces dynamic int8 up to XLA fusion
+        reassociation (different programs can flip an occasional round()
+        boundary by one quantization step)."""
+        from adas_tpu.models.resnet import ResNetFeatures
+        from adas_tpu.tools.quantize import calibrate_act_scales
+
+        net = ResNetFeatures(depth="18")
+        x = jnp.asarray(rng.standard_normal((1, 64, 96, 3)), jnp.float32)
+        variables = net.init(jax.random.PRNGKey(0), x)
+
+        with quantized("int8"):
+            dyn = jax.jit(lambda v, x: net.apply(v, x))(variables, x)
+
+        calibrated = calibrate_act_scales(
+            lambda v, xi: net.apply(v, xi, mutable=["act_scales"]),
+            variables, [x],
+        )
+        assert "act_scales" in calibrated
+        scales = jax.tree_util.tree_leaves(calibrated["act_scales"])
+        assert len(scales) > 10 and all(float(s) > 0 for s in scales)
+
+        with quantized("int8"):
+            stat = jax.jit(lambda v, x: net.apply(v, x))(calibrated, x)
+        for d, s in zip(dyn, stat):
+            d, s = np.asarray(d), np.asarray(s)
+            # static == dynamic up to 1-ulp dequant-multiply rounding
+            # (XLA folds wscale*xscale into one constant when static)
+            np.testing.assert_allclose(d, s, rtol=0.02, atol=0.02)
+
+    def test_running_max_across_samples(self, rng):
+        from adas_tpu.models.resnet import ResNetFeatures
+        from adas_tpu.tools.quantize import calibrate_act_scales
+
+        net = ResNetFeatures(depth="18")
+        x1 = jnp.asarray(rng.standard_normal((1, 64, 96, 3)), jnp.float32)
+        x2 = x1 * 3.0
+        variables = net.init(jax.random.PRNGKey(0), x1)
+        c1 = calibrate_act_scales(
+            lambda v, xi: net.apply(v, xi, mutable=["act_scales"]),
+            variables, [x1],
+        )
+        c12 = calibrate_act_scales(
+            lambda v, xi: net.apply(v, xi, mutable=["act_scales"]),
+            variables, [x1, x2],
+        )
+        # the stem conv absmax must follow the larger sample
+        s1 = jax.tree_util.tree_leaves(c1["act_scales"])
+        s12 = jax.tree_util.tree_leaves(c12["act_scales"])
+        assert sum(float(b) >= float(a) for a, b in zip(s1, s12)) == len(s1)
+        assert any(float(b) > float(a) * 2 for a, b in zip(s1, s12))
+
+    def test_yolo_facade_calibration(self, rng):
+        frames = [
+            rng.integers(0, 255, (96, 128, 3)).astype(np.uint8)
+            for _ in range(2)
+        ]
+        det = YoloDetector(
+            model_path=None, model_type=ObjectModelType.YOLOV8, scale="n",
+            input_size=(64, 64), compute_dtype="int8", box_score=0.3,
+        )
+        det.calibrate_int8(frames)
+        assert "act_scales" in det.variables
+        det.DetectFrame(frames[0])
+        assert isinstance(det.object_info, list)
+
+    def test_calibration_requires_int8_mode(self):
+        det = YoloDetector(
+            model_path=None, model_type=ObjectModelType.YOLOV8, scale="n",
+            input_size=(64, 64),
+        )
+        with pytest.raises(ValueError):
+            det.calibrate_int8([])
