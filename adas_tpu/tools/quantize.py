@@ -141,11 +141,41 @@ def main() -> None:
     ap.add_argument(
         "--mode", choices=["fp16", "bf16", "int8"], default="fp16"
     )
+    ap.add_argument(
+        "--calibrate", default=None, metavar="MODEL",
+        help="int8 only: registry model name (e.g. YOLOV8) to run N "
+        "random calibration frames through, baking static act_scales "
+        "into the output (the reference's TRT Calibrator contract; "
+        "feed real frames via the facade calibrate_int8 API instead "
+        "when you have them)",
+    )
+    ap.add_argument("--calib-frames", type=int, default=8)
+    ap.add_argument("--scale", default="n", help="model scale for --calibrate")
     args = ap.parse_args()
     variables = load_params(args.input)
     stem = os.path.splitext(args.input)[0]
     out = args.output or f"{stem}_{args.mode}.npz"
     if args.mode == "int8":
+        if args.calibrate:
+            import jax.numpy as jnp
+
+            from ..engine.registry import build as registry_build
+
+            entry = registry_build(args.calibrate, scale=args.scale)
+            _, _, h, w = entry.input_shape_nchw
+            rng = np.random.default_rng(0)
+            samples = [
+                jnp.asarray(
+                    rng.standard_normal((1, h, w, 3)), jnp.float32
+                )
+                for _ in range(args.calib_frames)
+            ]
+            variables = calibrate_act_scales(
+                lambda v, x: entry.net.apply(
+                    v, x, mutable=["act_scales"]
+                ),
+                variables, samples,
+            )
         save_int8(out, variables)
     else:
         save_params(out, cast_params(variables, args.mode))

@@ -74,3 +74,31 @@ def test_torch_import_cli(tmp_path, monkeypatch):
 
     variables = load_params(out)
     assert "cls_fc1" in variables["params"]
+
+
+def test_quantize_cli_calibrate(tmp_path, monkeypatch):
+    """--calibrate MODEL bakes static act_scales into the int8 store."""
+    import jax
+    import jax.numpy as jnp
+
+    from adas_tpu.engine.registry import build
+    from adas_tpu.tools import quantize
+    from adas_tpu.tools.params_io import save_params
+    from adas_tpu.tools.quantize import load_int8
+
+    entry = build("YOLOV8", scale="n", height=64, width=64)
+    variables = entry.net.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+    )
+    src = str(tmp_path / "y8.npz")
+    save_params(src, variables)
+    _run_main(
+        quantize,
+        ["-i", src, "--mode", "int8", "--calibrate", "YOLOV8",
+         "--scale", "n", "--calib-frames", "1"],
+        monkeypatch,
+    )
+    back = load_int8(str(tmp_path / "y8_int8.npz"))
+    assert "act_scales" in back
+    leaves = jax.tree_util.tree_leaves(back["act_scales"])
+    assert leaves and all(float(v) > 0 for v in leaves)
