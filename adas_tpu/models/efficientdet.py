@@ -72,19 +72,54 @@ def _conv_same(x, features, kernel, strides=(1, 1), groups=1,
                quantize=True):
     """SAME-padded conv that becomes a W8A8 Int8Conv (identical
     ``{name}/kernel[/bias]`` tree) under ``quantized("int8")`` — the
-    EfficientDet analogue of models/resnet._conv.  ``quantize=False``
-    pins final predictors to f32."""
-    if quantize and _layers._QUANT_MODE in ("int8", "int8_calib"):
+    EfficientDet analogue of models/resnet._conv_bn.  ``quantize=False``
+    pins final predictors to f32.  Depthwise convs (groups==C) and the
+    tiny-C_in stem are int8-ineligible (layers.int8_conv_eligible —
+    VPU/padding-bound, int8 buys nothing) and serve bf16 instead."""
+    int8_mode = quantize and _layers._QUANT_MODE in _layers.INT8_MODES
+    if int8_mode and _layers.int8_conv_eligible(groups, x.shape[-1]):
         return _layers.Int8Conv(
             features, kernel, strides=strides,
             padding=_same_pads(x.shape, kernel, strides),
             feature_group_count=groups, use_bias=use_bias, name=name,
         )(x)
+    if int8_mode:
+        dtype = jnp.bfloat16
     return nn.Conv(
         features, kernel, strides=strides, padding="SAME",
         feature_group_count=groups, use_bias=use_bias, dtype=dtype,
         name=name,
     )(x)
+
+
+def _conv_bn_act(x, features, kernel, strides=(1, 1), groups=1,
+                 use_bias=False, conv_name=None, bn_name=None, act=None,
+                 dtype=jnp.float32, train=False):
+    """Conv + BatchNorm(eps 1e-3) + activation; under ``quantized("int8")``
+    (inference, int8-eligible layer) the BN affine FOLDS into the
+    Int8Conv's dequant epilogue via layers.BNFoldParams — identical
+    variable layout, one fused elementwise pass instead of three."""
+    if (
+        _layers._QUANT_MODE in _layers.INT8_MODES
+        and not train
+        and _layers.int8_conv_eligible(groups, x.shape[-1])
+    ):
+        fold = _layers.BNFoldParams(epsilon=1e-3, name=bn_name)(features)
+        return _layers.Int8Conv(
+            features, kernel, strides=strides,
+            padding=_same_pads(x.shape, kernel, strides),
+            feature_group_count=groups, use_bias=use_bias, name=conv_name,
+        )(x, fold=fold, act=act)
+    if _layers._QUANT_MODE in _layers.INT8_MODES:
+        dtype = jnp.bfloat16
+    h = _conv_same(
+        x, features, kernel, strides=strides, groups=groups,
+        use_bias=use_bias, dtype=dtype, name=conv_name,
+    )
+    h = _bn(train, bn_name, dtype)(h)
+    if act is not None:
+        h = act(h)
+    return h
 
 
 def _round_channels(c: float, width: float, divisor: int = 8) -> int:
@@ -119,7 +154,13 @@ def _bn(train: bool, name: str, dtype=jnp.float32):
 
 
 def _same_pool(x, window: int = 3, stride: int = 2):
-    """TF-SAME max pool (zylo117 MaxPool2dStaticSamePadding)."""
+    """TF-SAME max pool (zylo117 MaxPool2dStaticSamePadding).
+
+    zylo117 implements this as ``ZeroPad2d`` + MaxPool2d — i.e. the
+    padding competes as literal ZEROS, not -inf, so negative border
+    activations are clipped up to 0 in the padded ring.  Quirk preserved
+    for checkpoint faithfulness (caught by the TorchEfficientDet oracle;
+    lax max_pool's padding would use -inf instead)."""
     h, w = x.shape[-3], x.shape[-2]
 
     def pad_for(size):
@@ -127,10 +168,10 @@ def _same_pool(x, window: int = 3, stride: int = 2):
         total = max((out - 1) * stride + window - size, 0)
         return (total // 2, total - total // 2)
 
-    return nn.max_pool(
-        x, (window, window), strides=(stride, stride),
-        padding=(pad_for(h), pad_for(w)),
+    x = jnp.pad(
+        x, ((0, 0), pad_for(h), pad_for(w), (0, 0)), constant_values=0.0
     )
+    return nn.max_pool(x, (window, window), strides=(stride, stride))
 
 
 class MBConv(nn.Module):
@@ -149,19 +190,16 @@ class MBConv(nn.Module):
         inp = x.shape[-1]
         h = x
         if self.expand != 1:
-            h = _conv_same(
-                h, inp * self.expand, (1, 1),
-                dtype=self.dtype, name="expand_conv",
+            h = _conv_bn_act(
+                h, inp * self.expand, (1, 1), conv_name="expand_conv",
+                bn_name="bn0", act=nn.silu, dtype=self.dtype, train=train,
             )
-            h = _bn(train, "bn0", self.dtype)(h)
-            h = nn.silu(h)
-        h = _conv_same(
+        h = _conv_bn_act(
             h, h.shape[-1], (self.kernel, self.kernel),
             strides=(self.stride, self.stride), groups=h.shape[-1],
-            dtype=self.dtype, name="dw_conv",
+            conv_name="dw_conv", bn_name="bn1", act=nn.silu,
+            dtype=self.dtype, train=train,
         )
-        h = _bn(train, "bn1", self.dtype)(h)
-        h = nn.silu(h)
         # squeeze-excite (reduce/expand 1x1 convs with bias)
         s = jnp.mean(h, axis=(1, 2), keepdims=True)
         s = nn.Conv(
@@ -173,11 +211,10 @@ class MBConv(nn.Module):
             s
         )
         h = h * nn.sigmoid(s)
-        h = _conv_same(
-            h, self.features, (1, 1), dtype=self.dtype,
-            name="project_conv",
+        h = _conv_bn_act(
+            h, self.features, (1, 1), conv_name="project_conv",
+            bn_name="bn2", dtype=self.dtype, train=train,
         )
-        h = _bn(train, "bn2", self.dtype)(h)
         if self.stride == 1 and inp == self.features:
             h = h + x
         return h
@@ -193,12 +230,11 @@ class EfficientNetFeatures(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = _conv_same(
+        h = _conv_bn_act(
             x, _round_channels(32, self.width), (3, 3), strides=(2, 2),
-            dtype=self.dtype, name="stem_conv",
+            conv_name="stem_conv", bn_name="stem_bn", act=nn.silu,
+            dtype=self.dtype, train=train,
         )
-        h = _bn(train, "stem_bn", self.dtype)(h)
-        h = nn.silu(h)
 
         plan = mbconv_plan(self.width, self.depth)
         feats = []
@@ -231,6 +267,13 @@ class SeparableConvBlock(nn.Module):
             x, x.shape[-1], (3, 3), groups=x.shape[-1],
             dtype=self.dtype, name="dw", quantize=self.quantize,
         )
+        if self.use_bn and self.quantize and not train:
+            # pw conv + BN folds into one int8 epilogue when eligible
+            return _conv_bn_act(
+                h, self.features, (1, 1), use_bias=True,
+                conv_name="pw", bn_name="bn", dtype=self.dtype,
+                train=train,
+            )
         h = _conv_same(
             h, self.features, (1, 1), use_bias=True,
             dtype=self.dtype, name="pw", quantize=self.quantize,
@@ -248,11 +291,10 @@ class _DownChannel(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = _conv_same(
-            x, self.features, (1, 1), use_bias=True, dtype=self.dtype,
-            name="conv",
+        return _conv_bn_act(
+            x, self.features, (1, 1), use_bias=True, conv_name="conv",
+            bn_name="bn", dtype=self.dtype, train=train,
         )
-        return _bn(train, "bn", self.dtype)(h)
 
 
 class BiFPNLayer(nn.Module):

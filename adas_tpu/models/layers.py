@@ -20,17 +20,27 @@ import jax.numpy as jnp
 _QUANT_MODE: Optional[str] = None
 
 
+#: int8-family trace modes: "int8" serves, "int8_calib" records activation
+#: absmax into the mutable "act_scales" collection, "int8_pack" records
+#: weight-scale shapes into a mutable "wscales" collection (used under
+#: jax.eval_shape to discover which kernels to pre-quantize at load time)
+INT8_MODES = ("int8", "int8_calib", "int8_pack")
+
+
 @contextlib.contextmanager
 def quantized(mode: Optional[str] = "int8"):
     """Trace the enclosed model application with quantized convs.
 
     Enter this context around ``net.apply`` *inside* the function being
     jitted (trace time), and every ``ConvBN`` lowers its conv to W8A8
-    int8 on the MXU (s8×s8→s32, 2× bf16 throughput on v5e): per-output-
-    channel symmetric weight quant + per-tensor dynamic activation quant,
-    dequantized into f32 before BN/activation.  The reference only
-    sketches int8 (convertOnnxToTensorRT.py:28-99, calibrator commented
-    out); this is the real compute path it never shipped.
+    int8 on the MXU (s8×s8→s32, 2× bf16 throughput on v5e) with a single
+    fused epilogue: per-output-channel weight scales × per-tensor
+    activation scale × the FOLDED BatchNorm affine, then bias and
+    activation — the TensorRT int8 engine the reference only sketches
+    (convertOnnxToTensorRT.py:28-99, calibrator commented out), built
+    for real.  Depthwise/grouped convs and tiny-C_in stems are served in
+    bf16 instead (VPU/padding-bound — int8 buys them nothing; TRT's
+    tactic selection makes the same call per layer).
     """
     global _QUANT_MODE
     prev = _QUANT_MODE
@@ -41,16 +51,120 @@ def quantized(mode: Optional[str] = "int8"):
         _QUANT_MODE = prev
 
 
+def int8_conv_eligible(groups: int, in_channels: int) -> bool:
+    """Precision policy under ``quantized("int8")``: int8 only where the
+    MXU is — dense convs with enough input channels.  Depthwise/grouped
+    convs are VPU-bound and tiny-C_in stems are lane-padding-bound, so
+    int8's 2× MXU rate buys nothing there while the quantize/dequantize
+    elementwise passes still cost; both serve in bf16 instead."""
+    return groups == 1 and in_channels > 4
+
+
+class BNFoldParams(nn.Module):
+    """Inference-time BatchNorm parameter holder with nn.BatchNorm's
+    EXACT variable layout (``params/{scale,bias}`` + ``batch_stats/
+    {mean,var}``), returning the folded per-channel affine instead of
+    applying it:
+
+        gain = scale / sqrt(var + eps);  bias' = bias - mean * gain
+
+    so ``bn(conv(x)) == conv(x) * gain + bias'`` folds into the int8
+    conv's dequant epilogue (what TensorRT's int8 engine builder does to
+    every Conv+BN pair).  Checkpoints trained/ingested against
+    nn.BatchNorm load unchanged."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, features: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((features,), jnp.float32),
+        )
+        var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((features,), jnp.float32),
+        )
+        scale = self.param(
+            "scale", nn.initializers.ones, (features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (features,), jnp.float32
+        )
+        gain = scale.astype(jnp.float32) * jax.lax.rsqrt(
+            var.value.astype(jnp.float32) + self.epsilon
+        )
+        return gain, bias.astype(jnp.float32) - mean.value.astype(
+            jnp.float32
+        ) * gain
+
+
+def int8_act_scale(mod: nn.Module, x: jnp.ndarray) -> Optional[jnp.ndarray]:
+    """Per-tensor activation scale for ``mod``'s input: records the
+    running absmax under ``quantized("int8_calib")`` (returns None =
+    caller quantizes dynamically this pass), serves the calibrated
+    STATIC scale when an ``act_scales`` collection is present, else None
+    (dynamic absmax — a global reduce on the critical path; calibration
+    exists to remove it)."""
+    if _QUANT_MODE == "int8_calib":
+        seen = mod.variable(
+            "act_scales", "xmax", lambda: jnp.zeros((), jnp.float32)
+        )
+        seen.value = jnp.maximum(
+            seen.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+        )
+        return None
+    if mod.has_variable("act_scales", "xmax"):
+        return (
+            jnp.maximum(mod.get_variable("act_scales", "xmax"), 1e-12)
+            / 127.0
+        )
+    return None
+
+
+def int8_weight_qparams(
+    mod: nn.Module, kernel: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(wq int8, wscale (C,)) for a conv kernel.
+
+    Pre-packed kernels (int8 dtype, produced by
+    ``tools.quantize.pack_int8_weights`` at load time) pass straight
+    through with their stored ``wscales`` collection entry — no per-step
+    weight quantize and 4× less weight HBM traffic.  f32 kernels are
+    quantized in-graph (exactly the math the packer runs on host).
+    Under ``quantized("int8_pack")`` the scale's shape is recorded into
+    the mutable ``wscales`` collection so the packer can discover, via
+    ``jax.eval_shape``, which param-tree kernels feed int8 convs."""
+    if kernel.dtype == jnp.int8:
+        return kernel, mod.get_variable("wscales", "wscale")
+    k = jnp.asarray(kernel, jnp.float32)
+    wmax = jnp.max(jnp.abs(k), axis=(0, 1, 2))
+    wscale = jnp.maximum(wmax, 1e-8) / 127.0
+    if _QUANT_MODE == "int8_pack":
+        rec = mod.variable("wscales", "wscale", lambda: wscale)
+        rec.value = wscale
+    wq = jnp.clip(
+        jnp.round(k / wscale), -127, 127
+    ).astype(jnp.int8)
+    return wq, wscale
+
+
 class Int8Conv(nn.Module):
     """Drop-in conv with int8 MXU arithmetic and nn.Conv's param layout
     (``kernel`` HWIO + optional ``bias``), so f32 checkpoints load
-    unchanged and quantization happens in-graph:
+    unchanged, plus the TRT-grade fused epilogue:
 
-      w_q  = round(w / s_w),  s_w per output channel (absmax/127)
-      x_q  = round(x / s_x),  s_x per tensor, dynamic (absmax/127)
-      y    = conv_s8(x_q, w_q) * s_w * s_x   (+ bias, f32)
+      w_q  = round(w / s_w),  s_w per output channel (absmax/127;
+             precomputed at load by pack_int8_weights, else in-graph)
+      x_q  = round(x / s_x),  s_x per tensor (static after calibration)
+      y    = act( conv_s8(x_q, w_q) * (s_w·s_x·gain) + bias' )
 
-    The head's final 1×1 convs stay f32 (see ConvBN.__call__) — standard
+    where (gain, bias') is the folded BatchNorm affine from
+    :class:`BNFoldParams` (identity when ``fold`` is None).  The whole
+    epilogue is one elementwise chain, so XLA fuses it — together with
+    the NEXT conv's static input quantize — into a single pass over the
+    accumulator; no f32 activation round-trips between layers.  The
+    head's final 1×1 convs stay f32 (see ConvBN.__call__) — standard
     practice to protect box/class regression precision.
     """
 
@@ -63,7 +177,7 @@ class Int8Conv(nn.Module):
     use_bias: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fold=None, act: Optional[Callable] = None):
         kh, kw = self.kernel_size
         in_per_group = x.shape[-1] // self.feature_group_count
         kernel = self.param(
@@ -72,38 +186,22 @@ class Int8Conv(nn.Module):
             (kh, kw, in_per_group, self.features),
             jnp.float32,
         )
-        # activation scale: static when a calibrated "act_scales"
-        # collection is served (the TensorRT-calibrator analogue the
-        # reference sketches, convertOnnxToTensorRT.py:28-99); dynamic
-        # per-tensor absmax otherwise.  quantized("int8_calib") RECORDS
-        # the running absmax into the mutable collection instead.
-        xscale = None
-        calibrating = _QUANT_MODE == "int8_calib"
-        if calibrating:
-            seen = self.variable(
-                "act_scales", "xmax", lambda: jnp.zeros((), jnp.float32)
-            )
-            xmax = jnp.max(jnp.abs(x.astype(jnp.float32)))
-            seen.value = jnp.maximum(seen.value, xmax)
-        elif self.has_variable("act_scales", "xmax"):
-            xscale = (
-                jnp.maximum(
-                    self.get_variable("act_scales", "xmax"), 1e-12
-                )
-                / 127.0
-            )
-        y = int8_conv_apply(
-            x, kernel, self.strides, self.padding,
-            feature_group_count=self.feature_group_count,
-            kernel_dilation=self.kernel_dilation,
-            xscale=xscale,
-        )
+        xscale = int8_act_scale(self, x)
+        bias = None
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32
             )
-            y = y + bias
-        return y
+        return int8_conv_apply(
+            x, kernel, self.strides, self.padding,
+            feature_group_count=self.feature_group_count,
+            kernel_dilation=self.kernel_dilation,
+            xscale=xscale,
+            wqparams=int8_weight_qparams(self, kernel),
+            conv_bias=bias,
+            fold=fold,
+            act=act,
+        )
 
 
 def int8_conv_apply(
@@ -114,18 +212,28 @@ def int8_conv_apply(
     feature_group_count: int = 1,
     kernel_dilation: Tuple[int, int] = (1, 1),
     xscale: Optional[jnp.ndarray] = None,
+    wqparams: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    conv_bias: Optional[jnp.ndarray] = None,
+    fold=None,
+    act: Optional[Callable] = None,
 ) -> jnp.ndarray:
-    """The W8A8 conv math of :class:`Int8Conv` as a free function, so
-    modules that own their kernel param (ResNet stem, plain-nn.Conv
-    blocks) can run it without changing their parameter tree.
+    """The W8A8 conv math of :class:`Int8Conv` as a free function.
 
     ``xscale``: calibrated static activation scale; None computes the
     dynamic per-tensor absmax (a global reduce before the conv — this is
-    what calibration removes from the critical path)."""
-    kernel = jnp.asarray(kernel, jnp.float32)
-    wmax = jnp.max(jnp.abs(kernel), axis=(0, 1, 2), keepdims=True)
-    wscale = jnp.maximum(wmax, 1e-8) / 127.0
-    wq = jnp.clip(jnp.round(kernel / wscale), -127, 127).astype(jnp.int8)
+    what calibration removes from the critical path).  ``wqparams``:
+    pre-quantized (wq, wscale); None quantizes ``kernel`` in-graph.
+    ``fold``: per-channel (gain, bias) of a folded BatchNorm;
+    ``conv_bias`` folds in as ``gain * conv_bias`` (torch applies conv
+    bias before BN).  ``act`` runs inside the same fused epilogue."""
+    if wqparams is None:
+        k = jnp.asarray(kernel, jnp.float32)
+        wmax = jnp.max(jnp.abs(k), axis=(0, 1, 2))
+        wscale = jnp.maximum(wmax, 1e-8) / 127.0
+        wq = jnp.clip(jnp.round(k / wscale), -127, 127).astype(jnp.int8)
+    else:
+        wq, wscale = wqparams
+        wscale = wscale.reshape(-1)
     xf = x.astype(jnp.float32)
     if xscale is None:
         xmax = jnp.max(jnp.abs(xf))
@@ -141,7 +249,22 @@ def int8_conv_apply(
         feature_group_count=feature_group_count,
         preferred_element_type=jnp.int32,
     )
-    return acc.astype(jnp.float32) * (wscale.reshape(1, 1, 1, -1) * xscale)
+    # fused epilogue: ONE per-channel affine covering dequant + BN(+bias)
+    scale = wscale * xscale
+    bias = None
+    if fold is not None:
+        gain, bias = fold
+        scale = scale * gain
+        if conv_bias is not None:
+            bias = bias + gain * conv_bias
+    elif conv_bias is not None:
+        bias = conv_bias
+    y = acc.astype(jnp.float32) * scale
+    if bias is not None:
+        y = y + bias
+    if act is not None:
+        y = act(y)
+    return y
 
 
 class ConvBN(nn.Module):
@@ -172,6 +295,33 @@ class ConvBN(nn.Module):
                 (d * (k - 1) // 2, d * (k - 1) // 2)
                 for k, d in zip(self.kernel, self.dilation)
             ]
+        # precision policy under quantized("int8"): dense convs with
+        # real channel depth go int8+folded-epilogue; depthwise/grouped
+        # convs and tiny-C_in stems serve bf16 (int8_conv_eligible)
+        use_int8 = (
+            _QUANT_MODE in INT8_MODES
+            and not train
+            and isinstance(padding, (list, tuple))
+            and int8_conv_eligible(self.groups, x.shape[-1])
+        )
+        if use_int8:
+            fold = None
+            if self.use_bn:
+                fold = BNFoldParams(epsilon=1e-5, name="bn")(self.features)
+            return Int8Conv(
+                self.features,
+                self.kernel,
+                strides=self.strides,
+                padding=tuple(tuple(p) for p in padding),
+                feature_group_count=self.groups,
+                kernel_dilation=self.dilation,
+                use_bias=self.use_bias or not self.use_bn,
+                name="conv",
+            )(x, fold=fold, act=self.act)
+        # int8-ineligible layers under int8 mode run bf16 (MXU-native)
+        dtype = self.dtype
+        if _QUANT_MODE in INT8_MODES and dtype is None:
+            dtype = jnp.bfloat16
         # tiny-C_in stride-2 stems (the first conv of every backbone):
         # evaluate via polyphases — identical math and parameter tree,
         # ~3x faster on the MXU (see polyphase_stride2_conv)
@@ -185,26 +335,12 @@ class ConvBN(nn.Module):
             and x.shape[1] % 2 == 0
             and x.shape[2] % 2 == 0
             and self.padding is None
-            and _QUANT_MODE not in ("int8", "int8_calib")
         )
         if polyphase_ok:
             x = PolyphaseStemConv(
                 self.features, self.kernel,
                 use_bias=self.use_bias or not self.use_bn,
-                dtype=self.dtype, name="conv",
-            )(x)
-        elif _QUANT_MODE in ("int8", "int8_calib") and isinstance(
-            padding, (list, tuple)
-        ):
-            x = Int8Conv(
-                self.features,
-                self.kernel,
-                strides=self.strides,
-                padding=tuple(tuple(p) for p in padding),
-                feature_group_count=self.groups,
-                kernel_dilation=self.dilation,
-                use_bias=self.use_bias or not self.use_bn,
-                name="conv",
+                dtype=dtype, name="conv",
             )(x)
         else:
             x = nn.Conv(
@@ -215,7 +351,7 @@ class ConvBN(nn.Module):
                 feature_group_count=self.groups,
                 kernel_dilation=self.dilation,
                 use_bias=self.use_bias or not self.use_bn,
-                dtype=self.dtype,
+                dtype=dtype,
                 name="conv",
             )(x)
         if self.use_bn:
@@ -223,7 +359,7 @@ class ConvBN(nn.Module):
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
-                dtype=self.dtype,
+                dtype=dtype,
                 name="bn",
             )(x)
         if self.act is not None:

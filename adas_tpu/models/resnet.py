@@ -20,19 +20,38 @@ from .layers import max_pool
 _NHWC = ("NHWC", "HWIO", "NHWC")
 
 
-def _conv(features, kernel, strides=(1, 1), padding=((0, 0), (0, 0)),
-          dtype=jnp.float32, name=None):
-    """nn.Conv (bias-free) or, under ``quantized("int8")``, Int8Conv with
-    the identical ``{name}/kernel`` parameter tree — the same trace-time
-    switch ConvBN uses, extended to the torchvision-layout trunk."""
-    if _layers._QUANT_MODE in ("int8", "int8_calib"):
+def _conv_bn(x, features, kernel, strides=(1, 1), padding=((0, 0), (0, 0)),
+             conv_name=None, bn_name=None, act=None, dtype=jnp.float32,
+             train: bool = False):
+    """Conv (torchvision layout: bias-free ``{conv_name}/kernel`` +
+    separate ``{bn_name}`` BatchNorm) with optional activation.
+
+    Under ``quantized("int8")`` (inference) the pair lowers to ONE
+    Int8Conv with the BatchNorm affine FOLDED into its dequant epilogue
+    (layers.BNFoldParams keeps the identical variable layout) — the
+    TRT-grade Conv+BN fusion, extended to the torchvision-layout trunk.
+    """
+    if (
+        _layers._QUANT_MODE in _layers.INT8_MODES
+        and not train
+        and _layers.int8_conv_eligible(1, x.shape[-1])
+    ):
+        fold = _layers.BNFoldParams(epsilon=1e-5, name=bn_name)(features)
         return _layers.Int8Conv(
-            features, kernel, strides=strides, padding=padding, name=name
-        )
-    return nn.Conv(
+            features, kernel, strides=strides, padding=padding,
+            name=conv_name,
+        )(x, fold=fold, act=act)
+    y = nn.Conv(
         features, kernel, strides=strides, padding=padding,
-        use_bias=False, dtype=dtype, name=name,
-    )
+        use_bias=False, dtype=dtype, name=conv_name,
+    )(x)
+    y = nn.BatchNorm(
+        use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        dtype=dtype, name=bn_name,
+    )(y)
+    if act is not None:
+        y = act(y)
+    return y
 
 
 class StemConv(nn.Module):
@@ -47,6 +66,11 @@ class StemConv(nn.Module):
     padding (2,1) — computes the identical convolution 3x faster.  The
     parameter keeps the torchvision (7,7,C,O) layout under the same
     ``conv1/kernel`` tree path, so checkpoint ingestion is unchanged.
+
+    Under ``quantized("int8")`` the stem serves in bf16 (via the same
+    polyphase): C_in=3 is lane-padding-bound on the MXU, so int8 buys
+    nothing while its quantize passes cost — the per-layer precision
+    call TRT's tactic selection makes (layers.int8_conv_eligible).
     """
 
     features: int = 64
@@ -61,14 +85,11 @@ class StemConv(nn.Module):
             (7, 7, c, self.features),
         )
         h, w = x.shape[1], x.shape[2]
-        if _layers._QUANT_MODE in ("int8", "int8_calib"):
-            from .layers import int8_conv_apply
-
-            return int8_conv_apply(
-                x, kernel, (2, 2), ((3, 3), (3, 3))
-            )
-        x = x.astype(self.dtype)
-        kernel = kernel.astype(self.dtype)
+        dtype = self.dtype
+        if _layers._QUANT_MODE in _layers.INT8_MODES:
+            dtype = jnp.bfloat16
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
         if h % 2 or w % 2:  # odd inputs: fall back to the direct conv
             return jax.lax.conv_general_dilated(
                 x, kernel, (2, 2), ((3, 3), (3, 3)),
@@ -89,32 +110,22 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
-        y = _conv(
-            self.features, (3, 3), strides=(self.strides, self.strides),
-            padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1",
-        )(x)
-        y = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name="bn1",
-        )(y)
-        y = nn.relu(y)
-        y = _conv(
-            self.features, (3, 3), padding=((1, 1), (1, 1)),
-            dtype=self.dtype, name="conv2",
-        )(y)
-        y = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name="bn2",
-        )(y)
+        y = _conv_bn(
+            x, self.features, (3, 3), strides=(self.strides, self.strides),
+            padding=((1, 1), (1, 1)), conv_name="conv1", bn_name="bn1",
+            act=nn.relu, dtype=self.dtype, train=train,
+        )
+        y = _conv_bn(
+            y, self.features, (3, 3), padding=((1, 1), (1, 1)),
+            conv_name="conv2", bn_name="bn2", dtype=self.dtype, train=train,
+        )
         if self.strides != 1 or x.shape[-1] != self.features:
-            identity = _conv(
-                self.features, (1, 1), strides=(self.strides, self.strides),
-                dtype=self.dtype, name="downsample_conv",
-            )(x)
-            identity = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=self.dtype, name="downsample_bn",
-            )(identity)
+            identity = _conv_bn(
+                x, self.features, (1, 1),
+                strides=(self.strides, self.strides),
+                conv_name="downsample_conv", bn_name="downsample_bn",
+                dtype=self.dtype, train=train,
+            )
         return nn.relu(y + identity)
 
 
@@ -127,31 +138,27 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train: bool = False):
         out_features = self.features * 4
         identity = x
-
-        def bn(name):
-            return nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=self.dtype, name=name,
-            )
-
-        y = _conv(self.features, (1, 1), dtype=self.dtype, name="conv1")(x)
-        y = nn.relu(bn("bn1")(y))
-        y = _conv(
-            self.features, (3, 3), strides=(self.strides, self.strides),
-            padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2",
-        )(y)
-        y = nn.relu(bn("bn2")(y))
-        y = _conv(out_features, (1, 1), dtype=self.dtype, name="conv3")(y)
-        y = bn("bn3")(y)
+        y = _conv_bn(
+            x, self.features, (1, 1), conv_name="conv1", bn_name="bn1",
+            act=nn.relu, dtype=self.dtype, train=train,
+        )
+        y = _conv_bn(
+            y, self.features, (3, 3),
+            strides=(self.strides, self.strides),
+            padding=((1, 1), (1, 1)), conv_name="conv2", bn_name="bn2",
+            act=nn.relu, dtype=self.dtype, train=train,
+        )
+        y = _conv_bn(
+            y, out_features, (1, 1), conv_name="conv3", bn_name="bn3",
+            dtype=self.dtype, train=train,
+        )
         if self.strides != 1 or x.shape[-1] != out_features:
-            identity = _conv(
-                out_features, (1, 1), strides=(self.strides, self.strides),
-                dtype=self.dtype, name="downsample_conv",
-            )(x)
-            identity = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=self.dtype, name="downsample_bn",
-            )(identity)
+            identity = _conv_bn(
+                x, out_features, (1, 1),
+                strides=(self.strides, self.strides),
+                conv_name="downsample_conv", bn_name="downsample_bn",
+                dtype=self.dtype, train=train,
+            )
         return nn.relu(y + identity)
 
 

@@ -119,7 +119,13 @@ class SimSPPF(nn.Module):
 
 
 class TransposeUp(nn.Module):
-    """meituan ``Transpose``: ConvTranspose2d(k=2, s=2, bias=True)."""
+    """meituan ``Transpose``: ConvTranspose2d(k=2, s=2, bias=True).
+
+    ``transpose_kernel=True`` (kernel layout (kh, kw, out, in), applied
+    spatially flipped) is REQUIRED to match torch's ConvTranspose2d —
+    flax's default convention places each kernel tap at the mirrored
+    output offset (caught by the TorchYOLOv6 oracle, 38% activation
+    error on the neck with the default)."""
 
     features: int
 
@@ -127,7 +133,7 @@ class TransposeUp(nn.Module):
     def __call__(self, x):
         return nn.ConvTranspose(
             self.features, (2, 2), strides=(2, 2), padding="VALID",
-            name="upsample_transpose",
+            transpose_kernel=True, name="upsample_transpose",
         )(x)
 
 

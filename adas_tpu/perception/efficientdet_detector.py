@@ -93,23 +93,36 @@ class EfficientdetDetector(ObjectDetectBase):
             # (the weights behind the reference's ONNX export)
             from ..tools.efficientdet_import import efficientdet_variables
 
-            return jax.device_put(
-                efficientdet_variables(ckpt_state, self.spec)
-            )
-        if self.model_path is None:
+            variables = efficientdet_variables(ckpt_state, self.spec)
+        elif self.model_path is None:
             rng = jax.random.PRNGKey(0)
             s = self.spec.input_size
-            return self.net.init(rng, jnp.zeros((1, s, s, 3), jnp.float32))
-        if str(self.model_path).endswith(".npz"):
+            variables = self.net.init(
+                rng, jnp.zeros((1, s, s, 3), jnp.float32)
+            )
+        elif str(self.model_path).endswith(".npz"):
             from ..tools.params_io import load_params
 
-            # pin to device once — numpy leaves would re-upload the whole
-            # tree on every DetectFrame call (CLAUDE.md bandwidth trap)
-            return jax.device_put(load_params(self.model_path))
-        raise ValueError(
-            f"Unsupported weights: {self.model_path} "
-            "(expect .pth/.npz/.onnx or None)"
-        )
+            variables = load_params(self.model_path)
+        else:
+            raise ValueError(
+                f"Unsupported weights: {self.model_path} "
+                "(expect .pth/.npz/.onnx or None)"
+            )
+        if getattr(self, "compute_dtype", None) == "int8":
+            # pre-quantize Int8Conv kernels once at load (TRT's offline
+            # engine build step — tools.quantize.pack_int8_weights)
+            from ..tools.quantize import pack_int8_weights
+
+            s = self.spec.input_size
+            x0 = jnp.zeros((1, s, s, 3), jnp.float32)
+            variables = pack_int8_weights(
+                lambda v: self.net.apply(v, x0, mutable=["wscales"]),
+                variables,
+            )
+        # pin to device once — numpy leaves would re-upload the whole
+        # tree on every DetectFrame call (CLAUDE.md bandwidth trap)
+        return jax.device_put(variables)
 
     def calibrate_int8(self, frames) -> None:
         """Static activation-scale calibration (see

@@ -132,29 +132,47 @@ class UltrafastLaneDetectorV2(LaneDetectBase):
             raise ValueError(msg)
 
         # extension/injection dispatch (reference swaps TRT/ONNX engines,
-        # ultrafastLaneDetectorV2.py:78-94): .adas = serialized artifact
+        # ultrafastLaneDetectorV2.py:78-94): .adas = serialized artifact;
+        # .onnx = native ingest with graph-executor fallback (the
+        # reference's lane detectors consume .onnx/.trt EXCLUSIVELY,
+        # ultrafastLaneDetector.py:65-68 — same auto dispatch as
+        # YoloDetector onnx_mode="auto")
         if engine is None and str(self.model_path).endswith(".adas"):
             from ..engine.artifact import CompiledEngine
 
             engine = CompiledEngine(self.model_path)
-        self.engine = engine
 
         self.spec = UFLDV2_SPECS[self.model_type]
         # dtype="int8" runs the ResNet trunk convs as W8A8 int8 MXU convs
-        # (models/resnet._conv); the FC head stays f32 to protect the
+        # (models/resnet._conv_bn); the FC head stays f32 to protect the
         # row/col-anchor logits (same policy as ConvBN's final predictors)
         self._quant = "int8" if dtype == "int8" else None
         if self._quant:
             dtype = jnp.float32
         if engine is None:
             self.net = UFLDv2Net(self.spec, dtype=dtype)
-            self.variables = _load_weights(
-                self.model_path, self.net,
-                (1, self.spec.input_height, self.spec.input_width, 3),
-                version=2, fc_norm=self.spec.fc_norm,
-            )
-            self._step = self._build_step()
-        elif not getattr(engine, "fused", False):
+            try:
+                self.variables = _load_weights(
+                    self.model_path, self.net,
+                    (1, self.spec.input_height, self.spec.input_width, 3),
+                    version=2, fc_norm=self.spec.fc_norm, quant=self._quant,
+                )
+            except (KeyError, NotImplementedError) as err:
+                if not str(self.model_path).endswith(".onnx"):
+                    raise
+                if self.logger:
+                    self.logger.war(
+                        f"native lane ingest failed ({err}); executing "
+                        "the ONNX graph via XLA instead"
+                    )
+                from ..engine.onnx_engine import OnnxGraphEngine
+
+                engine = OnnxGraphEngine(self.model_path)
+                del self.net
+            else:
+                self._step = self._build_step()
+        self.engine = engine
+        if engine is not None and not getattr(engine, "fused", False):
             outs, _ = engine.get_engine_output_shape()
             if len(outs) != 4:
                 raise ValueError(
@@ -344,11 +362,12 @@ class UltrafastLaneDetector(LaneDetectBase):
                 self.logger.error(msg)
             raise ValueError(msg)
 
+        # .adas artifact / .onnx auto dispatch — reference lane detectors
+        # consume .onnx/.trt exclusively (ultrafastLaneDetector.py:65-68)
         if engine is None and str(self.model_path).endswith(".adas"):
             from ..engine.artifact import CompiledEngine
 
             engine = CompiledEngine(self.model_path)
-        self.engine = engine
 
         self.spec = UFLDV1_SPECS[self.model_type]
         self._quant = "int8" if dtype == "int8" else None
@@ -356,13 +375,28 @@ class UltrafastLaneDetector(LaneDetectBase):
             dtype = jnp.float32
         if engine is None:
             self.net = UFLDv1Net(self.spec, dtype=dtype)
-            self.variables = _load_weights(
-                self.model_path, self.net,
-                (1, self.spec.input_height, self.spec.input_width, 3),
-                version=1,
-            )
-            self._step = self._build_step()
-        else:
+            try:
+                self.variables = _load_weights(
+                    self.model_path, self.net,
+                    (1, self.spec.input_height, self.spec.input_width, 3),
+                    version=1, quant=self._quant,
+                )
+            except (KeyError, NotImplementedError) as err:
+                if not str(self.model_path).endswith(".onnx"):
+                    raise
+                if self.logger:
+                    self.logger.war(
+                        f"native lane ingest failed ({err}); executing "
+                        "the ONNX graph via XLA instead"
+                    )
+                from ..engine.onnx_engine import OnnxGraphEngine
+
+                engine = OnnxGraphEngine(self.model_path)
+                del self.net
+            else:
+                self._step = self._build_step()
+        self.engine = engine
+        if engine is not None and not getattr(engine, "fused", False):
             outs, _ = engine.get_engine_output_shape()
             if len(outs) != 1:
                 raise ValueError(
@@ -458,22 +492,49 @@ class UltrafastLaneDetector(LaneDetectBase):
         self.lane_info.lanes_status = lanes_detected
 
 
-def _load_weights(model_path, net, input_shape, version=2, fc_norm=True):
+def _load_weights(
+    model_path, net, input_shape, version=2, fc_norm=True, quant=None
+):
     """Resolve weights from .npz / .pth / None(random); always returns
-    device-resident arrays (host leaves would re-upload per call)."""
+    device-resident arrays (host leaves would re-upload per call).
+    ``quant="int8"`` pre-quantizes the trunk's Int8Conv kernels at load
+    (tools.quantize.pack_int8_weights — TRT's offline engine build)."""
     if model_path is None:
         rng = jax.random.PRNGKey(0)
-        return net.init(rng, jnp.zeros(input_shape, jnp.float32))
-    if str(model_path).endswith(".npz"):
+        variables = net.init(rng, jnp.zeros(input_shape, jnp.float32))
+    elif str(model_path).endswith(".npz"):
         from ..tools.params_io import load_params
 
-        return jax.device_put(load_params(model_path))
-    if str(model_path).endswith((".pth", ".pt")):
+        variables = load_params(model_path)
+    elif str(model_path).endswith((".pth", ".pt")):
         from ..tools.torch_import import load_state_dict, ufld_variables
 
-        return jax.device_put(ufld_variables(
+        variables = ufld_variables(
             load_state_dict(model_path), version=version, fc_norm=fc_norm
-        ))
-    raise ValueError(
-        f"Unsupported weight format: {model_path} (expect .npz/.pth or None)"
-    )
+        )
+    elif str(model_path).endswith(".onnx"):
+        # the reference's canonical lane artifact
+        # (convertPytorchToONNX.py:77-91) carries torch-named
+        # initializers; ingest them into the native graph.  Exports
+        # whose names don't map raise KeyError and the facade falls
+        # back to executing the graph via the ONNX->XLA engine.
+        from ..tools.onnx_import import read_onnx_initializers
+        from ..tools.torch_import import ufld_variables
+
+        variables = ufld_variables(
+            read_onnx_initializers(model_path),
+            version=version, fc_norm=fc_norm,
+        )
+    else:
+        raise ValueError(
+            f"Unsupported weight format: {model_path} "
+            "(expect .npz/.pth/.onnx or None)"
+        )
+    if quant == "int8":
+        from ..tools.quantize import pack_int8_weights
+
+        x0 = jnp.zeros(input_shape, jnp.float32)
+        variables = pack_int8_weights(
+            lambda v: net.apply(v, x0, mutable=["wscales"]), variables
+        )
+    return jax.device_put(variables)

@@ -268,11 +268,29 @@ class YoloDetector(ObjectDetectBase):
             from ..tools.quantize import cast_params
 
             variables = cast_params(variables, cd)
-        # "int8" keeps f32 leaves: quantization happens in-graph
-        # (layers.Int8Conv) so the same checkpoint serves every mode
+        elif cd == "int8":
+            # pre-quantize Int8Conv kernels once at load (TRT's offline
+            # engine build): int8 kernels + wscales collection in the
+            # tree, no per-step weight quantize, 4x less weight HBM
+            variables = self._pack_int8(variables)
         # pin to device once: host (numpy) leaves would re-upload the
         # whole weight tree on EVERY step call
         return jax.device_put(variables)
+
+    def _pack_int8(self, variables):
+        from ..tools.quantize import pack_int8_weights
+
+        h, w = self.spec.input_size
+        x0 = jnp.zeros((1, h, w, 3), jnp.float32)
+        v10 = self.spec.family == "v10"
+
+        def apply_fn(v):
+            kw = dict(mutable=["wscales"])
+            if v10:
+                return self.net.apply(v, x0, method=self.net.both, **kw)
+            return self.net.apply(v, x0, **kw)
+
+        return pack_int8_weights(apply_fn, variables)
 
     def _load_weights_f32(self):
         if self.model_path is None:

@@ -86,6 +86,7 @@ class MultiStreamADAS:
         self.max_tracks = int(max_tracks)
         self.dev_hw = self.host_downscale or self.frame_hw
         self._spec_holder = {}
+        self._uploader = None
         h, w = self.frame_hw
         self.streams = [
             StreamState((w, h), yolo.colors_dict) for _ in range(n_streams)
@@ -220,14 +221,44 @@ class MultiStreamADAS:
             frames = np.stack([bgr_to_i420(f) for f in frames])
         return frames
 
-    def submit(self, frames: np.ndarray):
-        """frames: (n_streams, H, W, 3) uint8 BGR."""
-        assert frames.shape[0] == self.n_streams
+    def _prep_upload(self, frames: np.ndarray):
+        """Host transport prep + device upload; returns the device-
+        resident input batch."""
         x = jnp.asarray(self._host_prep(frames))
         if self.mesh is not None:
             x = jax.device_put(
                 x, NamedSharding(self.mesh, P("data", *([None] * (x.ndim - 1))))
             )
+        return x
+
+    def prefetch(self, frames: np.ndarray):
+        """Run host prep + the device upload in a background thread so
+        the (tunnel-bound) transfer overlaps this tick's fetch/analytics
+        on the main thread — the double-buffered ``memcpy_htod_async``
+        the reference's single CUDA stream never achieves
+        (coreEngine.py:107-114).  Returns a Future; pass its ``result()``
+        to :meth:`submit_device`."""
+        if self._uploader is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._uploader = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="adas-upload"
+            )
+        return self._uploader.submit(self._prep_upload, frames)
+
+    def submit_device(self, x):
+        """Submit a device-resident prepped batch (see prefetch)."""
+        if self.device_kf:
+            raise RuntimeError(
+                "device_kf streams use submit()/process_batch (the KF "
+                "state gather must pair with this tick's fetch)"
+            )
+        return self._step(self.yolo.variables, self.lane.variables, x)
+
+    def submit(self, frames: np.ndarray):
+        """frames: (n_streams, H, W, 3) uint8 BGR."""
+        assert frames.shape[0] == self.n_streams
+        x = self._prep_upload(frames)
         if not self.device_kf:
             return self._step(self.yolo.variables, self.lane.variables, x)
 
@@ -241,6 +272,13 @@ class MultiStreamADAS:
             )
         self._kf_inflight = True
         pools, means, covs = self._gather_kf_state()
+        # staleness guard state: identity alone can't detect an
+        # interleaved tracker.update (same STrack objects, mutated
+        # mean/cov) — record frame_id too and require it unchanged
+        pools = [
+            (p, s.tracker.frame_id) if p is not None else None
+            for p, s in zip(pools, self.streams)
+        ]
         if self.mesh is not None:
             means = jax.device_put(
                 means, NamedSharding(self.mesh, P("data", None, None))
@@ -315,13 +353,18 @@ class MultiStreamADAS:
             predicted = None
             if self.device_kf:
                 dets, lanes_i, pred_m, pred_c = per_stream[i]
-                pool = pools[i] if pools else None
+                entry = pools[i] if pools else None
                 # the predictions only apply if the pool the device
                 # predicted is still exactly what update() will predict
-                if pool is not None:
+                # AND no tracker.update ran in between (frame_id check:
+                # identity alone misses in-place mean/cov mutation)
+                if entry is not None:
+                    pool, frame_id = entry
                     now = stream.tracker.predict_pool()
-                    if len(now) == len(pool) and all(
-                        a is b for a, b in zip(now, pool)
+                    if (
+                        stream.tracker.frame_id == frame_id
+                        and len(now) == len(pool)
+                        and all(a is b for a, b in zip(now, pool))
                     ):
                         n = len(pool)
                         predicted = (pred_m[:n], pred_c[:n])

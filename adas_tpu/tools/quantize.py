@@ -106,6 +106,86 @@ def load_int8(path: str, dtype=np.float32) -> dict:
     return dequantize_int8(q, scales, dtype=dtype)
 
 
+def _copy_tree(tree) -> dict:
+    """Nested-dict shallow copy (leaves shared), FrozenDict-tolerant."""
+    return {
+        k: _copy_tree(v) if hasattr(v, "items") else v
+        for k, v in tree.items()
+    }
+
+
+def pack_int8_weights(apply_fn, variables: dict) -> dict:
+    """Pre-quantize every Int8Conv kernel at LOAD time — the engine-build
+    step the reference performs offline in TensorRT
+    (convertOnnxToTensorRT.py:150-173), here applied to the weight tree.
+
+    Discovers which param-tree kernels feed int8 convs by abstractly
+    tracing ``apply_fn(variables)`` under ``quantized("int8_pack")`` with
+    ``jax.eval_shape`` (zero FLOPs, no compile — each Int8Conv records
+    its weight-scale SHAPE into the mutable ``wscales`` collection), then
+    rewrites exactly those kernels to int8 with per-output-channel scales
+    stored in a parallel ``wscales`` collection.  Serving then reads 4x
+    fewer weight bytes and runs no per-step weight quantize; f32 heads
+    and int8-ineligible (depthwise/stem) kernels stay untouched.
+
+    ``apply_fn(variables)`` must run the net's apply with
+    ``mutable=["wscales"]`` on a representative input, returning
+    ``(out, updates)``.  The host math here matches the in-graph
+    fallback (layers.int8_weight_qparams) bit for bit.
+    """
+    from ..models.layers import quantized
+
+    with quantized("int8_pack"):
+        _, upd = jax.eval_shape(apply_fn, variables)
+    upd = dict(upd)
+    if "wscales" not in upd:
+        return variables
+    paths = []
+
+    def walk(tree, path=()):
+        for k, v in tree.items():
+            if hasattr(v, "items"):
+                walk(v, path + (k,))
+            elif k == "wscale":
+                paths.append(path)
+
+    walk(upd["wscales"])
+    params = _copy_tree(variables["params"])
+    wscales: dict = {}
+    for path in paths:
+        node = params
+        for k in path:
+            node = node[k]
+        kern = np.asarray(node["kernel"])
+        if kern.dtype == np.int8:  # already packed (loaded store)
+            continue
+        kern = kern.astype(np.float32)
+        absmax = np.abs(kern).max(axis=tuple(range(kern.ndim - 1)))
+        scale = (np.maximum(absmax, 1e-8) / 127.0).astype(np.float32)
+        node["kernel"] = np.clip(
+            np.round(kern / scale), -127, 127
+        ).astype(np.int8)
+        wnode = wscales
+        for k in path:
+            wnode = wnode.setdefault(k, {})
+        wnode["wscale"] = scale
+    out = dict(variables)
+    out["params"] = params
+    if wscales or "wscales" in out:
+        prev = _copy_tree(out.get("wscales", {}))
+        _merge_trees(prev, wscales)
+        out["wscales"] = prev
+    return out
+
+
+def _merge_trees(dst: dict, src: dict) -> None:
+    for k, v in src.items():
+        if hasattr(v, "items"):
+            _merge_trees(dst.setdefault(k, {}), v)
+        else:
+            dst[k] = v
+
+
 def calibrate_act_scales(apply_fn, variables: dict, sample_inputs) -> dict:
     """Static-activation-scale calibration — the TensorRT int8 calibrator
     the reference sketches but never ships (convertOnnxToTensorRT.py:
@@ -143,11 +223,18 @@ def main() -> None:
     )
     ap.add_argument(
         "--calibrate", default=None, metavar="MODEL",
-        help="int8 only: registry model name (e.g. YOLOV8) to run N "
-        "random calibration frames through, baking static act_scales "
-        "into the output (the reference's TRT Calibrator contract; "
-        "feed real frames via the facade calibrate_int8 API instead "
-        "when you have them)",
+        help="int8 only: registry model name (e.g. YOLOV8) to run "
+        "calibration frames through, baking static act_scales into the "
+        "output (the reference's TRT Calibrator contract).  Pass real "
+        "frames with --calib-dir; without it, N(0,1) synthetic frames "
+        "are used and the scales are PLACEHOLDERS (a warning is "
+        "printed) — real activations may clip at serve time",
+    )
+    ap.add_argument(
+        "--calib-dir", default=None, metavar="DIR",
+        help="directory of real image files (.jpg/.png/.bmp) to "
+        "calibrate on — preprocessed through the model's own input "
+        "path, like TRT's Calibrator batch stream",
     )
     ap.add_argument("--calib-frames", type=int, default=8)
     ap.add_argument("--scale", default="n", help="model scale for --calibrate")
@@ -163,13 +250,47 @@ def main() -> None:
 
             entry = registry_build(args.calibrate, scale=args.scale)
             _, _, h, w = entry.input_shape_nchw
-            rng = np.random.default_rng(0)
-            samples = [
-                jnp.asarray(
-                    rng.standard_normal((1, h, w, 3)), jnp.float32
+            if args.calib_dir:
+                import cv2
+
+                files = sorted(
+                    f for f in os.listdir(args.calib_dir)
+                    if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp"))
+                )[: args.calib_frames]
+                if not files:
+                    raise SystemExit(
+                        f"--calib-dir {args.calib_dir}: no image files"
+                    )
+                from ..ops.preprocess import (
+                    LetterboxGeometry, yolo_preprocess,
                 )
-                for _ in range(args.calib_frames)
-            ]
+
+                samples = []
+                for f in files:
+                    img = cv2.imread(os.path.join(args.calib_dir, f))
+                    geom = LetterboxGeometry(
+                        img.shape[0], img.shape[1], h, w
+                    )
+                    samples.append(
+                        yolo_preprocess(
+                            jnp.asarray(img)[None], geom,
+                            dtype=jnp.float32,
+                        )
+                    )
+            else:
+                print(
+                    "WARNING: calibrating on synthetic N(0,1) frames — "
+                    "the baked act_scales are placeholders; pass "
+                    "--calib-dir with real frames (or use the facade "
+                    "calibrate_int8 API) for production scales",
+                )
+                rng = np.random.default_rng(0)
+                samples = [
+                    jnp.asarray(
+                        rng.standard_normal((1, h, w, 3)), jnp.float32
+                    )
+                    for _ in range(args.calib_frames)
+                ]
             variables = calibrate_act_scales(
                 lambda v, x: entry.net.apply(
                     v, x, mutable=["act_scales"]

@@ -210,8 +210,10 @@ def _repblock_entries(
 
 
 def _deconv(w: np.ndarray) -> np.ndarray:
-    """torch ConvTranspose2d (in, out, kh, kw) -> flax (kh, kw, in, out)."""
-    return np.transpose(w, (2, 3, 0, 1))
+    """torch ConvTranspose2d (in, out, kh, kw) -> flax
+    ``transpose_kernel=True`` layout (kh, kw, out, in) — bit-exact with
+    torch (models/yolov6.TransposeUp docstring)."""
+    return np.transpose(w, (2, 3, 1, 0))
 
 
 def yolov6_mapping(spec: YoloSpec) -> List[tuple]:

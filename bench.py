@@ -37,22 +37,69 @@ import numpy as np
 SCALE = os.environ.get("ADAS_BENCH_SCALE", "l")
 N_STREAMS = int(os.environ.get("ADAS_BENCH_STREAMS", "8"))
 N_TICKS = int(os.environ.get("ADAS_BENCH_TICKS", "30"))
-DEPTH = int(os.environ.get("ADAS_BENCH_DEPTH", "3"))
+DEPTH = int(os.environ.get("ADAS_BENCH_DEPTH", "0"))  # 0 = adaptive
 COMPUTE_ITERS = int(os.environ.get("ADAS_BENCH_COMPUTE_ITERS", "30"))
 FULL = os.environ.get("ADAS_BENCH_FULL", "0") == "1"
+DOWNSCALE = os.environ.get("ADAS_BENCH_DOWNSCALE", "auto")
 BASELINE_FPS = 300.0
 
+#: adaptive host downscale ladder (I420 transport, bytes/frame =
+#: h*w*1.5): picked by the measured tunnel bandwidth so upload never
+#: dominates the tick.  The floor keeps ~(64%, 64%) of 720p linear res.
+_DOWNSCALE_LADDER = [(360, 640), (324, 576), (288, 512), (252, 448)]
 
-def _pipelined_fps(ms, batches) -> float:
+
+def probe_bandwidth_mbps(size_mb: float = 2.0, reps: int = 3) -> float:
+    """Measured host->device bandwidth (MB/s) through whatever attaches
+    the chip (PCIe locally; the ~10-35 MB/s tunnel on the test rig)."""
+    import jax
+    import jax.numpy as jnp
+
+    buf = np.zeros((int(size_mb * 1e6),), np.uint8)
+    jax.block_until_ready(jnp.asarray(buf))  # warm the path
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(jnp.asarray(buf))
+        best = min(best, time.perf_counter() - t0)
+    return size_mb / best
+
+
+def choose_transport(bw_mbps: float, n_streams: int):
+    """(host_downscale, depth): largest ladder entry whose per-tick
+    upload fits a ~110 ms budget at the measured bandwidth, depth sized
+    so uploads stay ahead of fetch+analytics.  A persistently slow
+    tunnel costs resolution, never throughput collapse (the round-2
+    regression this adaptivity exists to prevent)."""
+    budget_s = 0.110
+    for hw in _DOWNSCALE_LADDER:
+        mb = hw[0] * hw[1] * 1.5 * n_streams / 1e6
+        if mb / max(bw_mbps, 1e-6) <= budget_s:
+            return hw, 3
+    return _DOWNSCALE_LADDER[-1], 4
+
+
+def _pipelined_fps(ms, batches, depth: int) -> float:
+    """Software-pipelined throughput: uploads run on the prefetch
+    thread (overlapping fetch+analytics on this thread), ``depth``
+    batches in flight on the device."""
+
     def run_window() -> float:
         t0 = time.perf_counter()
-        inflight = deque()
+        pending = deque()  # (frames, Future[device batch])
+        inflight = deque()  # (frames, step handle)
         for i in range(N_TICKS):
             frames = batches[i % len(batches)]
-            inflight.append((frames, ms.submit(frames)))
-            if len(inflight) >= DEPTH:
+            pending.append((frames, ms.prefetch(frames)))
+            if len(pending) >= 2:
+                f, fut = pending.popleft()
+                inflight.append((f, ms.submit_device(fut.result())))
+            if len(inflight) >= depth:
                 f, h = inflight.popleft()
                 ms.fetch(h, f)
+        while pending:
+            f, fut = pending.popleft()
+            inflight.append((f, ms.submit_device(fut.result())))
         while inflight:
             f, h = inflight.popleft()
             ms.fetch(h, f)
@@ -64,28 +111,32 @@ def _pipelined_fps(ms, batches) -> float:
 
 
 def _compute_fps(ms, batches) -> float:
-    """Device-resident chained-step throughput (one dispatch)."""
+    """Device-resident chained-step throughput via a TWO-POINT
+    measurement: identical probes at N and 2N chained iterations, fps =
+    N·streams / (t_2N − t_N).  Dispatch latency and the packed-output
+    fetch cancel in the difference — no no-op floor estimate involved."""
     import jax
     import jax.numpy as jnp
 
-    probe = ms.make_compute_probe(COMPUTE_ITERS)
+    p1 = ms.make_compute_probe(COMPUTE_ITERS)
+    p2 = ms.make_compute_probe(2 * COMPUTE_ITERS)
     x = jnp.asarray(ms._host_prep(batches[0]))
     yv, lv = ms.yolo.variables, ms.lane.variables
-    # float() forces the host fetch: on the tunneled plugin
-    # block_until_ready alone can return before execution completes,
-    # which would overstate throughput
-    float(probe(yv, lv, x))  # compile + warm
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(probe(yv, lv, x))
-        best = min(best, time.perf_counter() - t0)
-    # subtract the ~one-round-trip fetch latency floor measured by a
-    # no-op dispatch so the number reflects on-device time
-    t0 = time.perf_counter()
-    float(jnp.float32(0) + 1)
-    floor = time.perf_counter() - t0
-    return COMPUTE_ITERS * N_STREAMS / max(best - floor, 1e-6)
+
+    def best_of(probe, reps: int = 3) -> float:
+        # float() forces the host fetch: on the tunneled plugin
+        # block_until_ready alone can return before execution completes,
+        # which would overstate throughput
+        float(probe(yv, lv, x))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(probe(yv, lv, x))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t2 = best_of(p1), best_of(p2)
+    return COMPUTE_ITERS * N_STREAMS / max(t2 - t1, 1e-6)
 
 
 def _staged(ms, batches, ticks: int = 12) -> dict:
@@ -226,9 +277,12 @@ def _config5(rng) -> dict:
         # (pair compute_fps 379 int8-lane vs 420 bf16-lane)
         dtype=jnp.bfloat16,
     )
+    downscale, depth = choose_transport(
+        probe_bandwidth_mbps(), N_STREAMS
+    )
     ms = MultiStreamADAS(
         yolo, lane, N_STREAMS, frame_hw=(720, 1280),
-        host_downscale=(360, 640), transport="i420",
+        host_downscale=downscale, transport="i420",
     )
     batches = [
         rng.integers(0, 255, (N_STREAMS, 720, 1280, 3), dtype=np.uint8)
@@ -237,7 +291,7 @@ def _config5(rng) -> dict:
     for b in batches:
         ms.process_batch(b)
     out["c5_v10s_int8_nmsfree_8streams"] = {
-        "e2e_fps": round(_pipelined_fps(ms, batches), 2),
+        "e2e_fps": round(_pipelined_fps(ms, batches, depth), 2),
         "compute_fps": round(_compute_fps(ms, batches), 2),
     }
 
@@ -272,6 +326,17 @@ def main() -> None:
         for _ in range(4)
     ]
 
+    # adapt the transport to the measured link BEFORE building the
+    # pipeline: a slow tunnel costs resolution, not throughput
+    bw = probe_bandwidth_mbps()
+    if DOWNSCALE == "auto":
+        downscale, depth = choose_transport(bw, N_STREAMS)
+    else:
+        h, w = DOWNSCALE.split("x")
+        downscale, depth = (int(h), int(w)), 3
+    if DEPTH:
+        depth = DEPTH
+
     yolo = YoloDetector(
         model_path=None,
         model_type=ObjectModelType.YOLOV8,
@@ -286,7 +351,7 @@ def main() -> None:
     )
     ms = MultiStreamADAS(
         yolo, lane, N_STREAMS, frame_hw=(720, 1280),
-        host_downscale=(360, 640), transport="i420",
+        host_downscale=downscale, transport="i420",
     )
 
     # Warmup: compile + settle the transport path.
@@ -299,10 +364,12 @@ def main() -> None:
         "unit": "frames/s",
         "vs_baseline": 0.0,
         "streams": N_STREAMS,
+        "tunnel_mbps": round(bw, 1),
+        "transport": {"downscale": list(downscale), "depth": depth},
         "compute_fps": round(_compute_fps(ms, batches), 2),
         "stages_ms": _staged(ms, batches),
     }
-    fps = _pipelined_fps(ms, batches)
+    fps = _pipelined_fps(ms, batches, depth)
     record["value"] = round(fps, 2)
     record["vs_baseline"] = round(fps / BASELINE_FPS, 3)
     if FULL:

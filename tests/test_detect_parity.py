@@ -1,0 +1,208 @@
+"""Activation-level faithfulness: v6 / v7 / EfficientDet vs torch oracles.
+
+The reference runs the REAL meituan-v6 / WongKinYiu-v7 /
+zylo117-EfficientDet networks through their ONNX exports
+(/root/reference/ObjectDetector/utils.py:15-23, efficientdetDetector.py:38).
+These tests build independent torch implementations with the released
+checkpoints' exact state-dict naming (tests/torch_nets_detect.py),
+ingest their RANDOM weights through the production importers, and assert
+the JAX forward agrees activation-for-activation — the proof that a
+transposed kernel, BN-epsilon slip, or mis-wired concat cannot hide
+behind shape-only contract tests.
+"""
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+from tests.torch_nets_detect import (
+    TorchEfficientDet,
+    TorchYOLOv6,
+    TorchYOLOv7,
+)
+
+
+def _randomize(model: nn.Module, seed: int = 0) -> None:
+    """Non-trivial weights + BN affine/stats for a real eval-mode test."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.weight.copy_(
+                    torch.rand(m.weight.shape, generator=g) * 0.5 + 0.75
+                )
+                m.bias.copy_(
+                    torch.randn(m.bias.shape, generator=g) * 0.05
+                )
+                m.running_mean.copy_(
+                    torch.randn(m.running_mean.shape, generator=g) * 0.1
+                )
+                m.running_var.copy_(
+                    torch.rand(m.running_var.shape, generator=g) + 0.5
+                )
+
+
+def _state(model: nn.Module) -> dict:
+    return {k: v.numpy() for k, v in model.state_dict().items()}
+
+
+def _rel_err(a: np.ndarray, b: np.ndarray) -> float:
+    return float(
+        np.abs(a - b).max() / max(np.abs(b).max(), 1e-9)
+    )
+
+
+class TestYoloV6Parity:
+    @pytest.mark.parametrize("scale", ["n", "s"])
+    def test_forward_matches_torch(self, scale):
+        from adas_tpu.models.yolo import YoloSpec, build_yolo
+        from adas_tpu.models.yolov6 import v6_plan
+        from adas_tpu.tools.yolo_import import yolo_variables
+
+        chans, reps = v6_plan(scale)
+        nc = 7
+        tnet = TorchYOLOv6(chans, reps, nc=nc).eval()
+        _randomize(tnet)
+        x = torch.randn(1, 3, 96, 96, generator=torch.Generator().manual_seed(1))
+        with torch.no_grad():
+            ref = tnet(x).numpy()
+
+        spec = YoloSpec(
+            family="v6", scale=scale, num_classes=nc, input_size=(96, 96)
+        )
+        net = build_yolo(spec)
+        variables = yolo_variables(_state(tnet), spec)
+        out = np.asarray(
+            jax.jit(lambda v, xi: net.apply(v, xi))(
+                variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+            )
+        )
+        assert out.shape == ref.shape
+        assert _rel_err(out, ref) < 1e-4
+
+
+class TestYoloV7Parity:
+    def test_forward_matches_torch(self):
+        from adas_tpu.models.yolo import YoloSpec, build_yolo
+        from adas_tpu.tools.yolo_import import yolo_variables
+
+        nc = 5
+        tnet = TorchYOLOv7(nc=nc).eval()
+        _randomize(tnet)
+        x = torch.randn(1, 3, 64, 64, generator=torch.Generator().manual_seed(2))
+        with torch.no_grad():
+            ref = tnet(x).numpy()
+
+        spec = YoloSpec(
+            family="v7", scale="l", num_classes=nc, input_size=(64, 64)
+        )
+        net = build_yolo(spec)
+        variables = yolo_variables(_state(tnet), spec)
+        out = np.asarray(
+            jax.jit(lambda v, xi: net.apply(v, xi))(
+                variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+            )
+        )
+        assert out.shape == ref.shape
+        assert _rel_err(out, ref) < 1e-4
+
+
+def _zylo_anchors(input_size: int, anchor_scale: float = 4.0) -> np.ndarray:
+    """Independent re-derivation of zylo117's Anchors.forward (y1, x1,
+    y2, x2), itertools.product(scales, ratios) interleaved per cell."""
+    scales = [2 ** 0, 2 ** (1.0 / 3), 2 ** (2.0 / 3)]
+    ratios = [(1.0, 1.0), (1.4, 0.7), (0.7, 1.4)]
+    out = []
+    for stride in [2 ** i for i in range(3, 8)]:
+        boxes_level = []
+        for scale, ratio in itertools.product(scales, ratios):
+            base = anchor_scale * stride * scale
+            ax = base * ratio[0] / 2.0
+            ay = base * ratio[1] / 2.0
+            xv, yv = np.meshgrid(
+                np.arange(stride / 2, input_size, stride),
+                np.arange(stride / 2, input_size, stride),
+            )
+            xv, yv = xv.reshape(-1), yv.reshape(-1)
+            boxes = np.vstack((yv - ay, xv - ax, yv + ay, xv + ax))
+            boxes_level.append(np.expand_dims(boxes.T, 1))
+        out.append(
+            np.concatenate(boxes_level, axis=1).reshape(-1, 4)
+        )
+    return np.concatenate(out, axis=0).astype(np.float32)
+
+
+def _zylo_decode(reg: np.ndarray, anchors: np.ndarray) -> np.ndarray:
+    """zylo117 BBoxTransform: (dy, dx, dh, dw) -> xyxy."""
+    ya = (anchors[:, 0] + anchors[:, 2]) / 2
+    xa = (anchors[:, 1] + anchors[:, 3]) / 2
+    ha = anchors[:, 2] - anchors[:, 0]
+    wa = anchors[:, 3] - anchors[:, 1]
+    w = np.exp(reg[..., 3]) * wa
+    h = np.exp(reg[..., 2]) * ha
+    yc = reg[..., 0] * ha + ya
+    xc = reg[..., 1] * wa + xa
+    return np.stack(
+        [xc - w / 2, yc - h / 2, xc + w / 2, yc + h / 2], axis=-1
+    )
+
+
+class TestEfficientDetParity:
+    def test_d0_forward_matches_torch(self):
+        from adas_tpu.models.efficientdet import (
+            EfficientDet,
+            EfficientDetSpec,
+            mbconv_plan,
+        )
+        from adas_tpu.tools.efficientdet_import import (
+            efficientdet_variables,
+        )
+
+        nc = 6
+        plan = mbconv_plan(1.0, 1.0)
+        tnet = TorchEfficientDet(
+            plan, stem_ch=32, conv_ch=(40, 112, 320), fpn_ch=64,
+            fpn_layers=3, head_layers=3, num_classes=nc,
+        ).eval()
+        _randomize(tnet)
+        # 256 keeps P7 at 2x2 (train-mode BN in the stats-adoption pass
+        # needs >1 value per channel)
+        size = 256
+        x = torch.randn(
+            1, 3, size, size, generator=torch.Generator().manual_seed(3)
+        )
+        with torch.no_grad():
+            # adopt REAL batch statistics as running stats (momentum=1 +
+            # one train-mode pass): arbitrary random running stats make
+            # the 16-block residual stack blow up multiplicatively and
+            # exp() in the box decode overflows in BOTH frameworks — a
+            # test-conditioning issue, not a parity one
+            for m in tnet.modules():
+                if isinstance(m, nn.BatchNorm2d):
+                    m.momentum = 1.0
+            tnet.train()
+            tnet(x)
+            tnet.eval()
+            tnet.regressor.header.pointwise_conv.conv.weight.mul_(0.05)
+            tnet.regressor.header.pointwise_conv.conv.bias.mul_(0.05)
+        with torch.no_grad():
+            reg_ref, cls_ref = tnet(x)
+        boxes_ref = _zylo_decode(
+            reg_ref.numpy(), _zylo_anchors(size)
+        )
+
+        spec = EfficientDetSpec(compound=0, num_classes=nc)
+        net = EfficientDet(spec)
+        variables = efficientdet_variables(_state(tnet), spec)
+        boxes, probs = jax.jit(lambda v, xi: net.apply(v, xi))(
+            variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+        )
+        boxes, probs = np.asarray(boxes), np.asarray(probs)
+        assert probs.shape == cls_ref.numpy().shape
+        assert _rel_err(probs, cls_ref.numpy()) < 1e-4
+        assert boxes.shape == boxes_ref.shape
+        assert _rel_err(boxes, boxes_ref) < 1e-4

@@ -157,3 +157,140 @@ class TestV5LiteOnnxContract:
         # RectInfo coords are ints; the odd height floors the center
         assert abs(x + w / 2 - 328) <= 0.5 and abs(y + h / 2 - 328) <= 0.5
         assert info.label == det.class_names[3]
+
+
+class TestLaneOnnxDispatch:
+    """Lane `.onnx` model paths (the reference's ONLY lane artifact —
+    ultrafastLaneDetector.py:65-68, convertPytorchToONNX.py:77-91):
+    native ingest for torch-named exports, graph-executor fallback for
+    everything else, decode identical to the engine-injected path."""
+
+    def _canned_v2_onnx(self, tmp_path, native, frame):
+        """An export that reproduces the native net's 4 outputs for a
+        given frame (initializer names don't map -> graph fallback)."""
+        import jax.numpy as jnp
+
+        from adas_tpu.ops.preprocess import ufld_v2_preprocess
+
+        spec = native.spec
+        x = ufld_v2_preprocess(
+            jnp.asarray(frame)[None], spec.input_height, spec.input_width,
+            spec.crop_ratio,
+        )
+        outs = native.net.apply(native.variables, x)
+        names = ("loc_row", "loc_col", "exist_row", "exist_col")
+        nodes = [W.make_node("ReduceMean", ["input"], ["m"], keepdims=0),
+                 W.make_node("Mul", ["m", "zero"], ["z"])]
+        inits = {"zero": np.float32(0.0)}
+        outputs = []
+        for k in names:
+            v = np.asarray(outs[k], np.float32)
+            inits[f"c_{k}"] = v
+            nodes.append(W.make_node("Add", [f"c_{k}", "z"], [k]))
+            outputs.append((k, np.float32, v.shape))
+        model = W.simple_model(
+            nodes,
+            [("input", np.float32,
+              (1, 3, spec.input_height, spec.input_width))],
+            outputs, initializers=inits,
+        )
+        path = tmp_path / "ufldv2.onnx"
+        path.write_bytes(model)
+        return str(path)
+
+    def test_v2_onnx_path_matches_native(self, tmp_path):
+        from adas_tpu.perception.lane_detector import UltrafastLaneDetectorV2
+        from adas_tpu.utils.types import LaneModelType
+
+        native = UltrafastLaneDetectorV2(
+            model_path=None, model_type=LaneModelType.UFLDV2_TUSIMPLE
+        )
+        frame = np.random.default_rng(7).integers(
+            0, 255, (240, 480, 3), dtype=np.uint8
+        )
+        native.DetectFrame(frame)
+        expected = [
+            list(map(tuple, p)) for p in native.lane_info.lanes_points
+        ]
+        path = self._canned_v2_onnx(tmp_path, native, frame)
+
+        det = UltrafastLaneDetectorV2(
+            model_path=path, model_type=LaneModelType.UFLDV2_TUSIMPLE
+        )
+        assert det.engine is not None  # fell back to graph execution
+        assert det.engine.framework_type == "onnx-xla"
+        det.DetectFrame(frame)
+        got = [list(map(tuple, p)) for p in det.lane_info.lanes_points]
+        assert got == expected
+
+    def test_v1_onnx_path_matches_native(self, tmp_path):
+        import jax.numpy as jnp
+
+        from adas_tpu.ops.preprocess import ufld_v1_preprocess
+        from adas_tpu.perception.lane_detector import UltrafastLaneDetector
+        from adas_tpu.utils.types import LaneModelType
+
+        native = UltrafastLaneDetector(
+            model_path=None, model_type=LaneModelType.UFLD_TUSIMPLE
+        )
+        frame = np.random.default_rng(9).integers(
+            0, 255, (240, 480, 3), dtype=np.uint8
+        )
+        native.DetectFrame(frame)
+        expected = [
+            list(map(tuple, p)) for p in native.lane_info.lanes_points
+        ]
+
+        spec = native.spec
+        x = ufld_v1_preprocess(
+            jnp.asarray(frame)[None], spec.input_height, spec.input_width
+        )
+        logits = np.asarray(
+            native.net.apply(native.variables, x), np.float32
+        )
+        nodes = [
+            W.make_node("ReduceMean", ["input"], ["m"], keepdims=0),
+            W.make_node("Mul", ["m", "zero"], ["z"]),
+            W.make_node("Add", ["c0", "z"], ["output"]),
+        ]
+        model = W.simple_model(
+            nodes,
+            [("input", np.float32,
+              (1, 3, spec.input_height, spec.input_width))],
+            [("output", np.float32, logits.shape)],
+            initializers={"c0": logits, "zero": np.float32(0.0)},
+        )
+        path = tmp_path / "ufldv1.onnx"
+        path.write_bytes(model)
+
+        det = UltrafastLaneDetector(
+            model_path=str(path), model_type=LaneModelType.UFLD_TUSIMPLE
+        )
+        assert det.engine is not None
+        assert det.engine.framework_type == "onnx-xla"
+        det.DetectFrame(frame)
+        got = [list(map(tuple, p)) for p in det.lane_info.lanes_points]
+        assert got == expected
+
+    def test_wrong_output_arity_rejected(self, tmp_path):
+        """A 1-output export is not a valid UFLDv2 engine (reference
+        enforces 4, ultrafastLaneDetectorV2.py:93-94)."""
+        from adas_tpu.perception.lane_detector import UltrafastLaneDetectorV2
+        from adas_tpu.utils.types import LaneModelType
+
+        nodes = [
+            W.make_node("ReduceMean", ["input"], ["m"], keepdims=0),
+            W.make_node("Mul", ["m", "zero"], ["out"]),
+        ]
+        model = W.simple_model(
+            nodes, [("input", np.float32, (1, 3, 320, 800))],
+            [("out", np.float32, ())],
+            initializers={"zero": np.float32(0.0)},
+        )
+        path = tmp_path / "bad.onnx"
+        path.write_bytes(model)
+        with pytest.raises(ValueError, match="4 tensors"):
+            UltrafastLaneDetectorV2(
+                model_path=str(path),
+                model_type=LaneModelType.UFLDV2_TUSIMPLE,
+            )

@@ -1,0 +1,769 @@
+"""Torch oracle networks for YOLOv6 / YOLOv7 / EfficientDet parity.
+
+Independent torch implementations of the detector topologies the
+reference serves through ONNX exports (meituan YOLOv6 EfficientRep,
+WongKinYiu YOLOv7 E-ELAN, zylo117 EfficientDet), with state-dict key
+names matching the RELEASED checkpoints exactly — so
+``tools/yolo_import.yolov6_mapping`` / ``yolov7_mapping`` /
+``tools/efficientdet_import`` ingest their random weights and the JAX
+forwards can be asserted activation-equal (the faithfulness proof
+missing from the structural bijection tests).
+
+Reference consumption points: /root/reference/ObjectDetector/utils.py:
+15-23 (model enum), yoloDetector.py:110-133 (v5-contract decode used for
+v6/v7 exports), efficientdetDetector.py:38.
+"""
+import math
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+def swish(x):
+    return x * torch.sigmoid(x)
+
+
+# --------------------------------------------------------------------------
+# YOLOv6 (meituan EfficientRep / RepPAN, training-form checkpoints)
+# --------------------------------------------------------------------------
+
+
+class CB(nn.Module):
+    """conv+bn (+act) with meituan's child names ``conv`` / ``bn``."""
+
+    def __init__(self, cin, cout, k=1, s=1, act=None, groups=1):
+        super().__init__()
+        self.conv = nn.Conv2d(
+            cin, cout, k, s, k // 2, groups=groups, bias=False
+        )
+        self.bn = nn.BatchNorm2d(cout)
+        self.act = act
+
+    def forward(self, x):
+        y = self.bn(self.conv(x))
+        if self.act == "relu":
+            y = F.relu(y)
+        elif self.act == "silu":
+            y = F.silu(y)
+        return y
+
+
+class TorchRepVGGBlock(nn.Module):
+    """meituan RepVGGBlock, training (unfused) form: 3x3+BN || 1x1+BN
+    (+ identity BN when in==out, stride 1), summed, ReLU."""
+
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.rbr_dense = CB(cin, cout, 3, stride)
+        self.rbr_1x1 = CB(cin, cout, 1, stride)
+        self.rbr_identity = (
+            nn.BatchNorm2d(cout) if cin == cout and stride == 1 else None
+        )
+
+    def forward(self, x):
+        out = self.rbr_dense(x) + self.rbr_1x1(x)
+        if self.rbr_identity is not None:
+            out = out + self.rbr_identity(x)
+        return F.relu(out)
+
+
+class TorchRepBlock(nn.Module):
+    def __init__(self, cin, cout, n=1):
+        super().__init__()
+        self.conv1 = TorchRepVGGBlock(cin, cout)
+        self.block = (
+            nn.ModuleList(
+                TorchRepVGGBlock(cout, cout) for _ in range(n - 1)
+            )
+            if n > 1
+            else None
+        )
+
+    def forward(self, x):
+        x = self.conv1(x)
+        if self.block is not None:
+            for b in self.block:
+                x = b(x)
+        return x
+
+
+class TorchSimSPPF(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        c_ = cin // 2
+        self.cv1 = CB(cin, c_, 1, act="relu")
+        self.cv2 = CB(c_ * 4, cout, 1, act="relu")
+
+    def forward(self, x):
+        y = self.cv1(x)
+        p1 = F.max_pool2d(y, 5, 1, 2)
+        p2 = F.max_pool2d(p1, 5, 1, 2)
+        p3 = F.max_pool2d(p2, 5, 1, 2)
+        return self.cv2(torch.cat([y, p1, p2, p3], 1))
+
+
+class _Transpose(nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.upsample_transpose = nn.ConvTranspose2d(c, c, 2, 2, bias=True)
+
+    def forward(self, x):
+        return self.upsample_transpose(x)
+
+
+class _ERBackbone(nn.Module):
+    def __init__(self, chans, reps):
+        super().__init__()
+        c, r = chans, reps
+        self.stem = TorchRepVGGBlock(3, c[0], 2)
+        self.ERBlock_2 = nn.Sequential(
+            TorchRepVGGBlock(c[0], c[1], 2), TorchRepBlock(c[1], c[1], r[1])
+        )
+        self.ERBlock_3 = nn.Sequential(
+            TorchRepVGGBlock(c[1], c[2], 2), TorchRepBlock(c[2], c[2], r[2])
+        )
+        self.ERBlock_4 = nn.Sequential(
+            TorchRepVGGBlock(c[2], c[3], 2), TorchRepBlock(c[3], c[3], r[3])
+        )
+        self.ERBlock_5 = nn.Sequential(
+            TorchRepVGGBlock(c[3], c[4], 2),
+            TorchRepBlock(c[4], c[4], r[4]),
+            TorchSimSPPF(c[4], c[4]),
+        )
+
+    def forward(self, x):
+        x = self.stem(x)
+        x = self.ERBlock_2(x)
+        p3 = self.ERBlock_3(x)
+        p4 = self.ERBlock_4(p3)
+        p5 = self.ERBlock_5(p4)
+        return p3, p4, p5
+
+
+class _RepPAN(nn.Module):
+    def __init__(self, chans, reps):
+        super().__init__()
+        c, r = chans, reps
+        self.reduce_layer0 = CB(c[4], c[5], 1, act="relu")
+        self.upsample0 = _Transpose(c[5])
+        self.Rep_p4 = TorchRepBlock(c[5] + c[3], c[5], r[5])
+        self.reduce_layer1 = CB(c[5], c[6], 1, act="relu")
+        self.upsample1 = _Transpose(c[6])
+        self.Rep_p3 = TorchRepBlock(c[6] + c[2], c[6], r[6])
+        self.downsample2 = CB(c[6], c[7], 3, 2, act="relu")
+        self.Rep_n3 = TorchRepBlock(c[7] + c[6], c[8], r[7])
+        self.downsample1 = CB(c[8], c[9], 3, 2, act="relu")
+        self.Rep_n4 = TorchRepBlock(c[9] + c[5], c[10], r[8])
+
+    def forward(self, feats):
+        p3, p4, p5 = feats
+        f0 = self.reduce_layer0(p5)
+        x = self.Rep_p4(torch.cat([self.upsample0(f0), p4], 1))
+        f1 = self.reduce_layer1(x)
+        out_p3 = self.Rep_p3(torch.cat([self.upsample1(f1), p3], 1))
+        out_n3 = self.Rep_n3(torch.cat([self.downsample2(out_p3), f1], 1))
+        out_n4 = self.Rep_n4(torch.cat([self.downsample1(out_n3), f0], 1))
+        return out_p3, out_n3, out_n4
+
+
+class _EffiDeHead(nn.Module):
+    def __init__(self, head_chans, nc):
+        super().__init__()
+        self.nc = nc
+        self.stems = nn.ModuleList(
+            CB(ch, ch, 1, act="silu") for ch in head_chans
+        )
+        self.cls_convs = nn.ModuleList(
+            CB(ch, ch, 3, act="silu") for ch in head_chans
+        )
+        self.reg_convs = nn.ModuleList(
+            CB(ch, ch, 3, act="silu") for ch in head_chans
+        )
+        self.cls_preds = nn.ModuleList(
+            nn.Conv2d(ch, nc, 1) for ch in head_chans
+        )
+        self.reg_preds = nn.ModuleList(
+            nn.Conv2d(ch, 4, 1) for ch in head_chans
+        )
+
+    def forward(self, feats):
+        outs = []
+        for li, f in enumerate(feats):
+            s = self.stems[li](f)
+            cls = torch.sigmoid(self.cls_preds[li](self.cls_convs[li](s)))
+            reg = self.reg_preds[li](self.reg_convs[li](s))
+            b, _, h, w = cls.shape
+            # NCHW -> (B, HW, C): match the export's cell-major layout
+            cls = cls.permute(0, 2, 3, 1).reshape(b, h * w, self.nc)
+            reg = reg.permute(0, 2, 3, 1).reshape(b, h * w, 4)
+            ys, xs = torch.meshgrid(
+                torch.arange(h, dtype=torch.float32) + 0.5,
+                torch.arange(w, dtype=torch.float32) + 0.5,
+                indexing="ij",
+            )
+            anchors = torch.stack(
+                [xs.reshape(-1), ys.reshape(-1)], -1
+            )
+            stride = 2 ** (3 + li)
+            lt, rb = reg[..., :2], reg[..., 2:]
+            x1y1 = anchors - lt
+            x2y2 = anchors + rb
+            cxy = (x1y1 + x2y2) / 2
+            wh = x2y2 - x1y1
+            xywh = torch.cat([cxy, wh], -1) * stride
+            obj = torch.ones_like(cls[..., :1])
+            outs.append(torch.cat([xywh, obj, cls], -1))
+        return torch.cat(outs, 1)
+
+
+class TorchYOLOv6(nn.Module):
+    """Full meituan v6 n/s: checkpoint keys ``backbone.* / neck.* /
+    detect.*`` exactly as yolov6_mapping consumes."""
+
+    def __init__(self, chans, reps, nc=80):
+        super().__init__()
+        self.backbone = _ERBackbone(chans, reps)
+        self.neck = _RepPAN(chans, reps)
+        head_chans = (chans[6], chans[8], chans[10])
+        self.detect = _EffiDeHead(head_chans, nc)
+
+    def forward(self, x):
+        return self.detect(self.neck(self.backbone(x)))
+
+
+# --------------------------------------------------------------------------
+# YOLOv7 (WongKinYiu base 640 model, cfg/deploy/yolov7.yaml)
+# --------------------------------------------------------------------------
+
+V7_ANCHORS = (
+    ((12, 16), (19, 36), (40, 28)),
+    ((36, 75), (76, 55), (72, 146)),
+    ((142, 110), (192, 243), (459, 401)),
+)
+
+
+class V7Conv(nn.Module):
+    """ultralytics-style Conv (conv+bn+SiLU) — children conv/bn."""
+
+    def __init__(self, cin, cout, k=1, s=1):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, k, s, k // 2, bias=False)
+        self.bn = nn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        return F.silu(self.bn(self.conv(x)))
+
+
+class V7SPPCSPC(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        c_ = cout
+        self.cv1 = V7Conv(cin, c_, 1)
+        self.cv2 = V7Conv(cin, c_, 1)
+        self.cv3 = V7Conv(c_, c_, 3)
+        self.cv4 = V7Conv(c_, c_, 1)
+        self.cv5 = V7Conv(4 * c_, c_, 1)
+        self.cv6 = V7Conv(c_, c_, 3)
+        self.cv7 = V7Conv(2 * c_, cout, 1)
+
+    def forward(self, x):
+        x1 = self.cv4(self.cv3(self.cv1(x)))
+        pools = [F.max_pool2d(x1, k, 1, k // 2) for k in (5, 9, 13)]
+        y1 = self.cv6(self.cv5(torch.cat([x1] + pools, 1)))
+        y2 = self.cv2(x)
+        return self.cv7(torch.cat([y1, y2], 1))
+
+
+class V7RepConv(nn.Module):
+    """v7 RepConv training form; branch Sequentials are UNNAMED
+    (``rbr_dense.0`` = conv, ``.1`` = bn) like the release."""
+
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.rbr_dense = nn.Sequential(
+            nn.Conv2d(cin, cout, 3, 1, 1, bias=False),
+            nn.BatchNorm2d(cout),
+        )
+        self.rbr_1x1 = nn.Sequential(
+            nn.Conv2d(cin, cout, 1, 1, 0, bias=False),
+            nn.BatchNorm2d(cout),
+        )
+
+    def forward(self, x):
+        return F.silu(self.rbr_dense(x) + self.rbr_1x1(x))
+
+
+class V7Implicit(nn.Module):
+    def __init__(self, c, init):
+        super().__init__()
+        self.implicit = nn.Parameter(
+            torch.full((1, c, 1, 1), float(init))
+        )
+
+
+class V7IDetect(nn.Module):
+    def __init__(self, chans, nc):
+        super().__init__()
+        na = 3
+        self.nc = nc
+        self.m = nn.ModuleList(
+            nn.Conv2d(c, na * (5 + nc), 1) for c in chans
+        )
+        self.ia = nn.ModuleList(V7Implicit(c, 0.0) for c in chans)
+        self.im = nn.ModuleList(
+            V7Implicit(na * (5 + nc), 1.0) for c in chans
+        )
+
+    def forward(self, feats):
+        outs = []
+        for li, f in enumerate(feats):
+            p = self.m[li](f + self.ia[li].implicit) * self.im[li].implicit
+            b, _, h, w = p.shape
+            # (B, na*(5+nc), H, W) -> (B, H, W, na, 5+nc), cell-major
+            p = (
+                p.view(b, 3, 5 + self.nc, h, w)
+                .permute(0, 3, 4, 1, 2)
+                .sigmoid()
+            )
+            ys, xs = torch.meshgrid(
+                torch.arange(h, dtype=torch.float32),
+                torch.arange(w, dtype=torch.float32),
+                indexing="ij",
+            )
+            grid = torch.stack([xs, ys], -1)[None, :, :, None, :]
+            anchors = torch.tensor(
+                V7_ANCHORS[li], dtype=torch.float32
+            )[None, None, None]
+            stride = 2 ** (3 + li)
+            xy = (p[..., :2] * 2 - 0.5 + grid) * stride
+            wh = (p[..., 2:4] * 2) ** 2 * anchors
+            out = torch.cat([xy, wh, p[..., 4:]], -1)
+            outs.append(out.reshape(b, h * w * 3, 5 + self.nc))
+        return torch.cat(outs, 1)
+
+
+class TorchYOLOv7(nn.Module):
+    """Base yolov7: ``model.{i}`` keys mirror cfg/deploy/yolov7.yaml."""
+
+    def __init__(self, nc=80):
+        super().__init__()
+        m = {}
+
+        def conv(i, cin, cout, k, s=1):
+            m[str(i)] = V7Conv(cin, cout, k, s)
+
+        conv(0, 3, 32, 3)
+        conv(1, 32, 64, 3, 2)
+        conv(2, 64, 64, 3)
+        conv(3, 64, 128, 3, 2)
+
+        def elan(i0, cin, cb, cout):
+            conv(i0, cin, cb, 1)
+            conv(i0 + 1, cin, cb, 1)
+            for j in range(4):
+                conv(i0 + 2 + j, cb, cb, 3)
+            conv(i0 + 7, cb * 4, cout, 1)
+
+        def mp_block(i0, cin, c):
+            conv(i0 + 1, cin, c, 1)
+            conv(i0 + 2, cin, c, 1)
+            conv(i0 + 3, c, c, 3, 2)
+
+        elan(4, 128, 64, 256)
+        mp_block(12, 256, 128)
+        elan(17, 256, 128, 512)
+        mp_block(25, 512, 256)
+        elan(30, 512, 256, 1024)
+        mp_block(38, 1024, 512)
+        elan(43, 1024, 256, 1024)
+        m["51"] = V7SPPCSPC(1024, 512)
+        conv(52, 512, 256, 1)
+        conv(54, 1024, 256, 1)
+
+        def elan_w(i0, cin, ca, cb, cout):
+            conv(i0, cin, ca, 1)
+            conv(i0 + 1, cin, ca, 1)
+            conv(i0 + 2, ca, cb, 3)
+            for j in range(3):
+                conv(i0 + 3 + j, cb, cb, 3)
+            conv(i0 + 7, ca * 2 + cb * 4, cout, 1)
+
+        elan_w(56, 512, 256, 128, 256)
+        conv(64, 256, 128, 1)
+        conv(66, 512, 128, 1)
+        elan_w(68, 256, 128, 64, 128)
+        mp_block(76, 128, 128)
+        elan_w(81, 512, 256, 128, 256)
+        mp_block(89, 256, 256)
+        elan_w(94, 1024, 512, 256, 512)
+        m["102"] = V7RepConv(128, 256)
+        m["103"] = V7RepConv(256, 512)
+        m["104"] = V7RepConv(512, 1024)
+        m["105"] = V7IDetect((256, 512, 1024), nc)
+        self.model = nn.ModuleDict(m)
+
+    def forward(self, x):
+        t = {}
+        m = self.model
+
+        def conv(i, src):
+            t[i] = m[str(i)](src)
+            return t[i]
+
+        conv(0, x)
+        conv(1, t[0])
+        conv(2, t[1])
+        conv(3, t[2])
+
+        def elan(i0, src):
+            a = conv(i0, src)
+            b = conv(i0 + 1, src)
+            b1 = conv(i0 + 2, b)
+            b2 = conv(i0 + 3, b1)
+            b3 = conv(i0 + 4, b2)
+            b4 = conv(i0 + 5, b3)
+            t[i0 + 6] = torch.cat([b4, b2, b, a], 1)
+            return conv(i0 + 7, t[i0 + 6])
+
+        def mp_block(i0, src):
+            t[i0] = F.max_pool2d(src, 2, 2)
+            a = conv(i0 + 1, t[i0])
+            b = conv(i0 + 3, conv(i0 + 2, src))
+            t[i0 + 4] = torch.cat([b, a], 1)
+            return t[i0 + 4]
+
+        elan(4, t[3])
+        mp_block(12, t[11])
+        elan(17, t[16])
+        mp_block(25, t[24])
+        elan(30, t[29])
+        mp_block(38, t[37])
+        elan(43, t[42])
+        t[51] = m["51"](t[50])
+        conv(52, t[51])
+        t[53] = F.interpolate(t[52], scale_factor=2, mode="nearest")
+        conv(54, t[37])
+        t[55] = torch.cat([t[54], t[53]], 1)
+
+        def elan_w(i0, src):
+            a = conv(i0, src)
+            b = conv(i0 + 1, src)
+            c1 = conv(i0 + 2, b)
+            c2 = conv(i0 + 3, c1)
+            c3 = conv(i0 + 4, c2)
+            c4 = conv(i0 + 5, c3)
+            t[i0 + 6] = torch.cat([c4, c3, c2, c1, b, a], 1)
+            return conv(i0 + 7, t[i0 + 6])
+
+        elan_w(56, t[55])
+        conv(64, t[63])
+        t[65] = F.interpolate(t[64], scale_factor=2, mode="nearest")
+        conv(66, t[24])
+        t[67] = torch.cat([t[66], t[65]], 1)
+        elan_w(68, t[67])
+
+        def head_mp(i0, src, route):
+            t[i0] = F.max_pool2d(src, 2, 2)
+            a = conv(i0 + 1, t[i0])
+            b = conv(i0 + 3, conv(i0 + 2, src))
+            t[i0 + 4] = torch.cat([b, a, route], 1)
+            return t[i0 + 4]
+
+        head_mp(76, t[75], t[63])
+        elan_w(81, t[80])
+        head_mp(89, t[88], t[51])
+        elan_w(94, t[93])
+        r3 = m["102"](t[75])
+        r4 = m["103"](t[88])
+        r5 = m["104"](t[101])
+        return m["105"]((r3, r4, r5))
+
+
+# --------------------------------------------------------------------------
+# EfficientDet (zylo117 Yet-Another-EfficientDet-Pytorch layout)
+# --------------------------------------------------------------------------
+
+
+class SamePadConv2d(nn.Module):
+    """zylo117 Conv2dStaticSamePadding: TF-SAME pads then plain conv."""
+
+    def __init__(self, cin, cout, k, s=1, groups=1, bias=True):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, k, s, 0, groups=groups, bias=bias)
+        self.k, self.s = k, s
+
+    def _pad(self, x):
+        h, w = x.shape[-2:]
+        pads = []
+        for size in (w, h):  # F.pad order: (left, right, top, bottom)
+            out = math.ceil(size / self.s)
+            total = max((out - 1) * self.s + self.k - size, 0)
+            pads += [total // 2, total - total // 2]
+        return F.pad(x, pads)
+
+    def forward(self, x):
+        return self.conv(self._pad(x))
+
+
+class _BareSame(nn.Module):
+    """Unwrapped Conv2dStaticSamePadding (its own state-dict key is
+    ``...weight`` directly — used by the lukemelas backbone)."""
+
+    def __init__(self, cin, cout, k, s=1, groups=1, bias=False):
+        super().__init__()
+        self.weight = nn.Parameter(torch.randn(cout, cin // groups, k, k))
+        self.bias = nn.Parameter(torch.zeros(cout)) if bias else None
+        self.k, self.s, self.groups = k, s, groups
+
+    def forward(self, x):
+        h, w = x.shape[-2:]
+        pads = []
+        for size in (w, h):
+            out = math.ceil(size / self.s)
+            total = max((out - 1) * self.s + self.k - size, 0)
+            pads += [total // 2, total - total // 2]
+        return F.conv2d(
+            F.pad(x, pads), self.weight, self.bias, self.s, 0, 1,
+            self.groups,
+        )
+
+
+class TorchMBConv(nn.Module):
+    """lukemelas MBConvBlock (inference: no drop-connect)."""
+
+    def __init__(self, cin, cout, expand, k, s):
+        super().__init__()
+        mid = cin * expand
+        if expand != 1:
+            self._expand_conv = _BareSame(cin, mid, 1)
+            self._bn0 = nn.BatchNorm2d(mid, eps=1e-3)
+        self.expand = expand
+        self._depthwise_conv = _BareSame(mid, mid, k, s, groups=mid)
+        self._bn1 = nn.BatchNorm2d(mid, eps=1e-3)
+        se = max(1, int(cin * 0.25))
+        self._se_reduce = _BareSame(mid, se, 1, bias=True)
+        self._se_expand = _BareSame(se, mid, 1, bias=True)
+        self._project_conv = _BareSame(mid, cout, 1)
+        self._bn2 = nn.BatchNorm2d(cout, eps=1e-3)
+        self.has_skip = s == 1 and cin == cout
+
+    def forward(self, x):
+        h = x
+        if self.expand != 1:
+            h = swish(self._bn0(self._expand_conv(h)))
+        h = swish(self._bn1(self._depthwise_conv(h)))
+        s = h.mean((2, 3), keepdim=True)
+        s = self._se_expand(swish(self._se_reduce(s)))
+        h = h * torch.sigmoid(s)
+        h = self._bn2(self._project_conv(h))
+        if self.has_skip:
+            h = h + x
+        return h
+
+
+class _LukemelasNet(nn.Module):
+    """``backbone_net.model``: stem + _blocks list (detection slice)."""
+
+    def __init__(self, plan, stem_ch):
+        super().__init__()
+        self._conv_stem = _BareSame(3, stem_ch, 3, 2)
+        self._bn0 = nn.BatchNorm2d(stem_ch, eps=1e-3)
+        blocks = []
+        cin = stem_ch
+        for expand, k, s, cout in plan:
+            blocks.append(TorchMBConv(cin, cout, expand, k, s))
+            cin = cout
+        self._blocks = nn.ModuleList(blocks)
+
+    def forward(self, x):
+        h = swish(self._bn0(self._conv_stem(x)))
+        feats = []
+        for b in self._blocks:
+            # same tap rule as models/efficientdet.EfficientNetFeatures
+            if (
+                b._depthwise_conv.s == 2
+                and h.shape[-2] * 2 <= x.shape[-2] // 4
+            ):
+                feats.append(h)
+            h = b(h)
+        feats.append(h)
+        return feats[-3:]
+
+
+class _ModelHolder(nn.Module):
+    def __init__(self, model):
+        super().__init__()
+        self.model = model
+
+
+class _SepConv(nn.Module):
+    """zylo117 SeparableConvBlock: dw (no bias) + pw (bias) + BN."""
+
+    def __init__(self, cin, cout, bn=True):
+        super().__init__()
+        self.depthwise_conv = SamePadConv2d(
+            cin, cin, 3, groups=cin, bias=False
+        )
+        self.pointwise_conv = SamePadConv2d(cin, cout, 1, bias=True)
+        self.bn = nn.BatchNorm2d(cout, eps=1e-3) if bn else None
+
+    def forward(self, x):
+        h = self.pointwise_conv(self.depthwise_conv(x))
+        if self.bn is not None:
+            h = self.bn(h)
+        return h
+
+
+class _DownCh(nn.Sequential):
+    """Sequential(conv-wrap, BN) with keys ``.0.conv.*`` / ``.1.*``."""
+
+    def __init__(self, cin, cout):
+        super().__init__(
+            SamePadConv2d(cin, cout, 1, bias=True),
+            nn.BatchNorm2d(cout, eps=1e-3),
+        )
+
+
+def _same_pool(x, k=3, s=2):
+    """zylo117 MaxPool2dStaticSamePadding: ZeroPad2d + MaxPool2d — the
+    padded ring competes as literal ZEROS (not -inf)."""
+    h, w = x.shape[-2:]
+    pads = []
+    for size in (w, h):
+        out = math.ceil(size / s)
+        total = max((out - 1) * s + k - size, 0)
+        pads += [total // 2, total - total // 2]
+    return F.max_pool2d(F.pad(x, pads, value=0.0), k, s)
+
+
+class TorchBiFPNLayer(nn.Module):
+    def __init__(self, conv_ch, fpn_ch, first_time, attention=True):
+        super().__init__()
+        self.first_time = first_time
+        self.attention = attention
+        for name in (
+            "conv6_up", "conv5_up", "conv4_up", "conv3_up",
+            "conv4_down", "conv5_down", "conv6_down", "conv7_down",
+        ):
+            setattr(self, name, _SepConv(fpn_ch, fpn_ch))
+        if attention:
+            for name in (
+                "p6_w1", "p5_w1", "p4_w1", "p3_w1",
+                "p4_w2", "p5_w2", "p6_w2", "p7_w2",
+            ):
+                n = 3 if name.endswith("w2") and name != "p7_w2" else 2
+                setattr(self, name, nn.Parameter(torch.ones(n)))
+        if first_time:
+            c3, c4, c5 = conv_ch
+            self.p3_down_channel = _DownCh(c3, fpn_ch)
+            self.p4_down_channel = _DownCh(c4, fpn_ch)
+            self.p5_down_channel = _DownCh(c5, fpn_ch)
+            self.p4_down_channel_2 = _DownCh(c4, fpn_ch)
+            self.p5_down_channel_2 = _DownCh(c5, fpn_ch)
+            self.p5_to_p6 = _DownCh(c5, fpn_ch)
+
+    def _fuse(self, name, inputs):
+        if not self.attention:
+            return F.silu(sum(inputs))
+        w = F.relu(getattr(self, name))
+        w = w / (w.sum() + 1e-4)
+        return F.silu(sum(wi * xi for wi, xi in zip(w, inputs)))
+
+    @staticmethod
+    def _up(x):
+        return F.interpolate(x, scale_factor=2, mode="nearest")
+
+    def forward(self, feats):
+        if self.first_time:
+            c3, c4, c5 = feats
+            p3_in = self.p3_down_channel(c3)
+            p4_in = self.p4_down_channel(c4)
+            p5_in = self.p5_down_channel(c5)
+            p6_in = _same_pool(self.p5_to_p6(c5))
+            p7_in = _same_pool(p6_in)
+            p4_in_2 = self.p4_down_channel_2(c4)
+            p5_in_2 = self.p5_down_channel_2(c5)
+        else:
+            p3_in, p4_in, p5_in, p6_in, p7_in = feats
+            p4_in_2, p5_in_2 = p4_in, p5_in
+        p6_td = self.conv6_up(self._fuse("p6_w1", [p6_in, self._up(p7_in)]))
+        p5_td = self.conv5_up(self._fuse("p5_w1", [p5_in, self._up(p6_td)]))
+        p4_td = self.conv4_up(self._fuse("p4_w1", [p4_in, self._up(p5_td)]))
+        p3_out = self.conv3_up(self._fuse("p3_w1", [p3_in, self._up(p4_td)]))
+        p4_out = self.conv4_down(
+            self._fuse("p4_w2", [p4_in_2, p4_td, _same_pool(p3_out)])
+        )
+        p5_out = self.conv5_down(
+            self._fuse("p5_w2", [p5_in_2, p5_td, _same_pool(p4_out)])
+        )
+        p6_out = self.conv6_down(
+            self._fuse("p6_w2", [p6_in, p6_td, _same_pool(p5_out)])
+        )
+        p7_out = self.conv7_down(
+            self._fuse("p7_w2", [p7_in, _same_pool(p6_out)])
+        )
+        return p3_out, p4_out, p5_out, p6_out, p7_out
+
+
+class TorchPredictionHead(nn.Module):
+    def __init__(self, ch, layers, out_features):
+        super().__init__()
+        self.conv_list = nn.ModuleList(
+            _SepConv(ch, ch, bn=False) for _ in range(layers)
+        )
+        self.bn_list = nn.ModuleList(
+            nn.ModuleList(
+                nn.BatchNorm2d(ch, eps=1e-3) for _ in range(layers)
+            )
+            for _ in range(5)
+        )
+        self.header = _SepConv(ch, out_features, bn=False)
+
+    def forward(self, feats):
+        outs = []
+        for li, f in enumerate(feats):
+            h = f
+            for ci, conv in enumerate(self.conv_list):
+                h = F.silu(self.bn_list[li][ci](conv(h)))
+            outs.append(self.header(h))
+        return outs
+
+
+class TorchEfficientDet(nn.Module):
+    """zylo117 EfficientDetBackbone (d0 config by default): raw head
+    maps out — box decode is asserted separately in the test."""
+
+    def __init__(self, plan, stem_ch, conv_ch, fpn_ch, fpn_layers,
+                 head_layers, num_classes=90):
+        super().__init__()
+        self.backbone_net = _ModelHolder(_LukemelasNet(plan, stem_ch))
+        self.bifpn = nn.Sequential(
+            *[
+                TorchBiFPNLayer(conv_ch, fpn_ch, first_time=(i == 0))
+                for i in range(fpn_layers)
+            ]
+        )
+        self.regressor = TorchPredictionHead(fpn_ch, head_layers, 9 * 4)
+        self.classifier = TorchPredictionHead(
+            fpn_ch, head_layers, 9 * num_classes
+        )
+        self.num_classes = num_classes
+
+    def forward(self, x):
+        feats = self.backbone_net.model(x)
+        feats = self.bifpn(feats)
+        box = self.regressor(feats)
+        cls = self.classifier(feats)
+        b = x.shape[0]
+        box = torch.cat(
+            [o.permute(0, 2, 3, 1).reshape(b, -1, 4) for o in box], 1
+        )
+        cls = torch.cat(
+            [
+                o.permute(0, 2, 3, 1).reshape(b, -1, self.num_classes)
+                for o in cls
+            ],
+            1,
+        )
+        return box, torch.sigmoid(cls)
