@@ -616,9 +616,9 @@ def build_yolo(spec: YoloSpec) -> nn.Module:
             )
         return YoloV5Lite(spec)
     if spec.family == "v6":
-        from .yolov6 import _V6_SCALES, YoloV6
+        from .yolov6 import _V6_CSP_SCALES, _V6_SCALES, YoloV6
 
-        if spec.scale not in _V6_SCALES:
+        if spec.scale not in _V6_SCALES and spec.scale not in _V6_CSP_SCALES:
             spec = YoloSpec(
                 family="v6", scale="s", num_classes=spec.num_classes,
                 input_size=spec.input_size,

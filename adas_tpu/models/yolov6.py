@@ -16,11 +16,15 @@ yoloDetector.py's v5-contract decode — v6 exports emit
 * ``RepPANNeck`` — SimConv lateral reductions, ConvTranspose 2×
   upsampling (meituan's ``Transpose`` layer), RepBlock fusion stages.
 * ``EffiDeHead`` — per-level stem + decoupled cls/reg 3×3 convs + 1×1
-  predictors, anchor-free distance decode (no DFL at n/s).
+  predictors, anchor-free distance decode (no DFL at n/s; 17-bin DFL
+  at m/l, decoded analytically like the checkpoints' ``proj_conv``).
 
-Scales: n (depth 1/3, width 0.25) and s (1/3, 0.50) — the CSPBep (m/l)
-trunk is a different block family and is served via the ONNX graph
-executor instead.
+Scales: n (depth 1/3, width 0.25), s (1/3, 0.50) on the EfficientRep
+trunk; m (0.60, 0.75, csp_e=2/3) and l (1.0, 1.0, csp_e=1/2) on the
+CSPBep trunk (BepC3/BottleRep stages, meituan CSPBepBackbone /
+CSPRepPANNeck).  Offline caveat: m/l faithfulness is pinned against the
+in-repo torch oracle expression of the published topology
+(tests/torch_nets_detect.py), not real released checkpoints.
 """
 from __future__ import annotations
 
@@ -38,10 +42,17 @@ from .yolo import YoloSpec, _anchor_points, _scale_channels, _scale_depth
 _V6_CHANNELS = (64, 128, 256, 512, 1024, 256, 128, 128, 256, 256, 512)
 _V6_REPEATS = (1, 6, 12, 18, 6, 12, 12, 12, 12)
 _V6_SCALES = {"n": (1 / 3, 0.25), "s": (1 / 3, 0.50)}
+#: m/l (CSPBep trunk): depth, width, csp hidden-channel ratio e
+#: (meituan configs/yolov6m.py csp_e=2/3, yolov6l.py csp_e=1/2)
+_V6_CSP_SCALES = {"m": (0.60, 0.75, 2.0 / 3.0), "l": (1.0, 1.0, 0.5)}
 
 
 def v6_plan(scale: str) -> Tuple[Sequence[int], Sequence[int]]:
-    depth, width = _V6_SCALES[scale]
+    depth, width = (
+        _V6_SCALES[scale]
+        if scale in _V6_SCALES
+        else _V6_CSP_SCALES[scale][:2]
+    )
     chans = [_scale_channels(c, width, 10_000) for c in _V6_CHANNELS]
     reps = [
         r if r == 1 else _scale_depth(r, depth) for r in _V6_REPEATS
@@ -91,6 +102,50 @@ class RepBlock(nn.Module):
         return x
 
 
+class BottleRep(nn.Module):
+    """meituan BottleRep (m/l trunk unit): two RepVGG blocks with a
+    learnable-``alpha`` weighted residual when in==out
+    (layers/common.py BottleRep, weight=True in the CSPBep stacks)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = RepVGGBlock(self.features, name="conv1")(x, train)
+        y = RepVGGBlock(self.features, name="conv2")(y, train)
+        if x.shape[-1] == self.features:
+            alpha = self.param(
+                "alpha", nn.initializers.ones, (1,), jnp.float32
+            )
+            y = y + alpha * x
+        return y
+
+
+class BepC3(nn.Module):
+    """meituan BepC3 (CSP over a BottleRep RepBlock): cv1/cv2 1×1 ReLU
+    branches, ``m`` = BottleRep chain of n//2 units (each = 2 RepVGGs,
+    so conv count matches the n/s RepBlock), cv3 1×1 ReLU merge.
+    Child names mirror the checkpoints: cv1/cv2/cv3 + m.conv1 /
+    m.block.{i}."""
+
+    features: int
+    n: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.features * self.e)
+        a = SimConv(c_, name="cv1")(x, train)
+        b = SimConv(c_, name="cv2")(x, train)
+        # RepBlock(block=BottleRep): conv1 + (n//2 - 1) inner blocks
+        a = BottleRep(c_, name="m_conv1")(a, train)
+        for i in range(self.n // 2 - 1):
+            a = BottleRep(c_, name=f"m_block{i}")(a, train)
+        return SimConv(self.features, name="cv3")(
+            jnp.concatenate([a, b], axis=-1), train
+        )
+
+
 def _relu(x):
     return nn.relu(x)
 
@@ -138,8 +193,18 @@ class TransposeUp(nn.Module):
 
 
 class EfficientRep(nn.Module):
+    """n/s trunk; with ``csp_e`` set this is meituan's CSPBepBackbone
+    (m/l): identical downsample skeleton, RepBlock stages swapped for
+    BepC3 CSP stages."""
+
     chans: Sequence[int]
     reps: Sequence[int]
+    csp_e: float = 0.0  # 0 = RepBlock (n/s); else BepC3 ratio (m/l)
+
+    def _stage(self, c, n, name):
+        if self.csp_e:
+            return BepC3(c, n, self.csp_e, name=name)
+        return RepBlock(c, n, name=name)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -147,20 +212,29 @@ class EfficientRep(nn.Module):
         r = self.reps
         x = RepVGGBlock(c[0], strides=(2, 2), name="stem")(x, train)
         x = RepVGGBlock(c[1], strides=(2, 2), name="ERBlock_2_0")(x, train)
-        x = RepBlock(c[1], r[1], name="ERBlock_2_1")(x, train)
+        x = self._stage(c[1], r[1], "ERBlock_2_1")(x, train)
         x = RepVGGBlock(c[2], strides=(2, 2), name="ERBlock_3_0")(x, train)
-        p3 = RepBlock(c[2], r[2], name="ERBlock_3_1")(x, train)
+        p3 = self._stage(c[2], r[2], "ERBlock_3_1")(x, train)
         x = RepVGGBlock(c[3], strides=(2, 2), name="ERBlock_4_0")(p3, train)
-        p4 = RepBlock(c[3], r[3], name="ERBlock_4_1")(x, train)
+        p4 = self._stage(c[3], r[3], "ERBlock_4_1")(x, train)
         x = RepVGGBlock(c[4], strides=(2, 2), name="ERBlock_5_0")(p4, train)
-        x = RepBlock(c[4], r[4], name="ERBlock_5_1")(x, train)
+        x = self._stage(c[4], r[4], "ERBlock_5_1")(x, train)
         p5 = SimSPPF(c[4], name="ERBlock_5_2")(x, train)
         return p3, p4, p5
 
 
 class RepPANNeck(nn.Module):
+    """n/s neck; with ``csp_e`` set this is meituan's CSPRepPANNeck
+    (m/l): fusion RepBlocks swapped for BepC3."""
+
     chans: Sequence[int]
     reps: Sequence[int]
+    csp_e: float = 0.0
+
+    def _stage(self, c, n, name):
+        if self.csp_e:
+            return BepC3(c, n, self.csp_e, name=name)
+        return RepBlock(c, n, name=name)
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
@@ -169,24 +243,24 @@ class RepPANNeck(nn.Module):
         r = self.reps
         f0 = SimConv(c[5], name="reduce_layer0")(p5, train)
         up0 = TransposeUp(c[5], name="upsample0")(f0)
-        x = RepBlock(c[5], r[5], name="Rep_p4")(
+        x = self._stage(c[5], r[5], "Rep_p4")(
             jnp.concatenate([up0, p4], axis=-1), train
         )
         f1 = SimConv(c[6], name="reduce_layer1")(x, train)
         up1 = TransposeUp(c[6], name="upsample1")(f1)
-        out_p3 = RepBlock(c[6], r[6], name="Rep_p3")(
+        out_p3 = self._stage(c[6], r[6], "Rep_p3")(
             jnp.concatenate([up1, p3], axis=-1), train
         )
         d2 = SimConv(c[7], (3, 3), strides=(2, 2), name="downsample2")(
             out_p3, train
         )
-        out_n3 = RepBlock(c[8], r[7], name="Rep_n3")(
+        out_n3 = self._stage(c[8], r[7], "Rep_n3")(
             jnp.concatenate([d2, f1], axis=-1), train
         )
         d1 = SimConv(c[9], (3, 3), strides=(2, 2), name="downsample1")(
             out_n3, train
         )
-        out_n4 = RepBlock(c[10], r[8], name="Rep_n4")(
+        out_n4 = self._stage(c[10], r[8], "Rep_n4")(
             jnp.concatenate([d1, f0], axis=-1), train
         )
         return out_p3, out_n3, out_n4
@@ -205,11 +279,16 @@ class EffiDeHead(nn.Module):
 
     spec: YoloSpec
     head_chans: Sequence[int]
+    #: m/l heads regress a 17-bin distribution per box side (reg_max=16)
+    #: decoded by softmax expectation — the ``proj_conv`` arange kernel
+    #: in the checkpoints, computed analytically here (like v8's DFL)
+    use_dfl: bool = False
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
         s = self.spec
         nc = s.num_classes
+        reg_max = 16
         outs = []
         for li, f in enumerate(feats):
             ch = self.head_chans[li]
@@ -221,11 +300,23 @@ class EffiDeHead(nn.Module):
             reg = ConvBN(ch, (3, 3), act=_silu, name=f"reg_conv{li}")(
                 stem, train
             )
-            reg = nn.Conv(4, (1, 1), name=f"reg_pred{li}")(reg)
+            reg_out = 4 * (reg_max + 1) if self.use_dfl else 4
+            reg = nn.Conv(reg_out, (1, 1), name=f"reg_pred{li}")(reg)
             b, h, w, _ = cls.shape
+            if self.use_dfl:
+                # channel c = coord*(reg_max+1) + bin (meituan
+                # effidehead reshape([-1, 4, reg_max+1, hw]))
+                r = reg.reshape(b, h * w, 4, reg_max + 1)
+                r = jax.nn.softmax(r, axis=-1)
+                reg = jnp.sum(
+                    r * jnp.arange(reg_max + 1, dtype=jnp.float32),
+                    axis=-1,
+                )
+            else:
+                reg = reg.reshape(b, h * w, 4)
             outs.append(
                 (
-                    reg.reshape(b, h * w, 4),
+                    reg,
                     jax.nn.sigmoid(cls).reshape(b, h * w, nc),
                 )
             )
@@ -251,8 +342,14 @@ class YoloV6(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        chans, reps = v6_plan(self.spec.scale)
-        feats = EfficientRep(chans, reps, name="backbone")(x, train)
-        feats = RepPANNeck(chans, reps, name="neck")(feats, train)
+        scale = self.spec.scale
+        chans, reps = v6_plan(scale)
+        csp_e = (
+            _V6_CSP_SCALES[scale][2] if scale in _V6_CSP_SCALES else 0.0
+        )
+        feats = EfficientRep(chans, reps, csp_e, name="backbone")(x, train)
+        feats = RepPANNeck(chans, reps, csp_e, name="neck")(feats, train)
         head_chans = (chans[6], chans[8], chans[10])
-        return EffiDeHead(self.spec, head_chans, name="detect")(feats, train)
+        return EffiDeHead(
+            self.spec, head_chans, use_dfl=bool(csp_e), name="detect"
+        )(feats, train)

@@ -215,8 +215,8 @@ class YoloDetector(ObjectDetectBase):
         scale = getattr(self, "scale", "n")
         if family == "v9" and scale not in ("c",):
             scale = "c"  # GELAN-C is the supported v9 variant
-        if family == "v6" and scale not in ("n", "s"):
-            scale = "s"  # CSPBep (m/l) trunks serve via the ONNX executor
+        if family == "v6" and scale not in ("n", "s", "m", "l"):
+            scale = "s"
         if family == "v5lite" and scale not in ("e", "s"):
             scale = "s"  # g (RepVGG trunk) serves via the ONNX executor
         self.spec = YoloSpec(

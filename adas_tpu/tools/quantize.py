@@ -202,10 +202,20 @@ def calibrate_act_scales(apply_fn, variables: dict, sample_inputs) -> dict:
 
     from ..models.layers import quantized
 
+    # jit the calibration step: unjitted, every op is its own dispatch —
+    # minutes over a ~30 ms-latency tunnel.  Entering quantized() inside
+    # the traced fn bakes the calib path into the compilation; the tree
+    # gains the act_scales collection after sample 1, triggering exactly
+    # one retrace.
+    def _calib_step(v, x):
+        with quantized("int8_calib"):
+            return apply_fn(v, x)
+
+    jitted = jax.jit(_calib_step)
+
     merged = dict(variables)
     for x in sample_inputs:
-        with quantized("int8_calib"):
-            _, upd = apply_fn(merged, x)
+        _, upd = jitted(merged, x)
         scales = upd["act_scales"]
         prev = merged.get("act_scales")
         if prev is not None:

@@ -209,6 +209,30 @@ def _repblock_entries(
     return out
 
 
+def _bottlerep_entries(src: str, dst: Tuple[str, ...]):
+    """meituan BottleRep (m/l CSPBep unit): conv1/conv2 RepVGG blocks
+    (in==out inside BepC3, so identity BN always present) + the
+    weighted-residual ``alpha``."""
+    out = _repvgg_entries(f"{src}.conv1", dst + ("conv1",), True)
+    out += _repvgg_entries(f"{src}.conv2", dst + ("conv2",), True)
+    out += [(f"{src}.alpha", "params", dst + ("alpha",), None)]
+    return out
+
+
+def _bepc3_entries(src: str, dst: Tuple[str, ...], n: int):
+    """meituan BepC3: cv1/cv2/cv3 Conv_C3 (conv+bn) + the BottleRep
+    chain ``m.conv1`` / ``m.block.{i}`` of n//2 units."""
+    out = _convbn_entries(f"{src}.cv1", dst + ("cv1",))
+    out += _convbn_entries(f"{src}.cv2", dst + ("cv2",))
+    out += _convbn_entries(f"{src}.cv3", dst + ("cv3",))
+    out += _bottlerep_entries(f"{src}.m.conv1", dst + ("m_conv1",))
+    for i in range(n // 2 - 1):
+        out += _bottlerep_entries(
+            f"{src}.m.block.{i}", dst + (f"m_block{i}",)
+        )
+    return out
+
+
 def _deconv(w: np.ndarray) -> np.ndarray:
     """torch ConvTranspose2d (in, out, kh, kw) -> flax
     ``transpose_kernel=True`` layout (kh, kw, out, in) — bit-exact with
@@ -217,12 +241,20 @@ def _deconv(w: np.ndarray) -> np.ndarray:
 
 
 def yolov6_mapping(spec: YoloSpec) -> List[tuple]:
-    """(src, collection, dst, transform) for meituan YOLOv6 2.x n/s
-    training checkpoints (models/yolov6.py graph)."""
-    from ..models.yolov6 import v6_plan
+    """(src, collection, dst, transform) for meituan YOLOv6 2.x
+    training checkpoints (models/yolov6.py graph): n/s EfficientRep
+    RepBlock stages, m/l CSPBep BepC3 stages."""
+    from ..models.yolov6 import _V6_CSP_SCALES, v6_plan
 
-    scale = spec.scale if spec.scale in ("n", "s") else "s"
+    scale = spec.scale if spec.scale in ("n", "s", "m", "l") else "s"
+    csp = scale in _V6_CSP_SCALES
     chans, reps = v6_plan(scale)
+
+    def stage(src, dst, n, conv1_identity):
+        if csp:
+            return _bepc3_entries(src, dst, n)
+        return _repblock_entries(src, dst, n, conv1_identity)
+
     bb = lambda *p: ("backbone",) + p  # noqa: E731
     nk = lambda *p: ("neck",) + p  # noqa: E731
     m = []
@@ -231,7 +263,7 @@ def yolov6_mapping(spec: YoloSpec) -> List[tuple]:
         m += _repvgg_entries(
             f"backbone.ERBlock_{k}.0", bb(f"ERBlock_{k}_0"), False
         )
-        m += _repblock_entries(
+        m += stage(
             f"backbone.ERBlock_{k}.1", bb(f"ERBlock_{k}_1"), rep_n, True
         )
     m += _convbn_entries(
@@ -251,7 +283,7 @@ def yolov6_mapping(spec: YoloSpec) -> List[tuple]:
     # conv1 identity flags follow the channel plan: Rep_p4/Rep_p3 fuse a
     # concat wider than their output (no identity); Rep_n3/Rep_n4 input
     # widths equal their outputs by design (identity present)
-    m += _repblock_entries("neck.Rep_p4", nk("Rep_p4"), reps[5], False)
+    m += stage("neck.Rep_p4", nk("Rep_p4"), reps[5], False)
     m += _convbn_entries("neck.reduce_layer1", nk("reduce_layer1"))
     m += [
         ("neck.upsample1.upsample_transpose.weight", "params",
@@ -259,14 +291,14 @@ def yolov6_mapping(spec: YoloSpec) -> List[tuple]:
         ("neck.upsample1.upsample_transpose.bias", "params",
          nk("upsample1", "upsample_transpose", "bias"), None),
     ]
-    m += _repblock_entries("neck.Rep_p3", nk("Rep_p3"), reps[6], False)
+    m += stage("neck.Rep_p3", nk("Rep_p3"), reps[6], False)
     m += _convbn_entries("neck.downsample2", nk("downsample2"))
-    m += _repblock_entries(
+    m += stage(
         "neck.Rep_n3", nk("Rep_n3"), reps[7],
         chans[7] + chans[6] == chans[8],
     )
     m += _convbn_entries("neck.downsample1", nk("downsample1"))
-    m += _repblock_entries(
+    m += stage(
         "neck.Rep_n4", nk("Rep_n4"), reps[8],
         chans[9] + chans[5] == chans[10],
     )

@@ -41,6 +41,13 @@ DEPTH = int(os.environ.get("ADAS_BENCH_DEPTH", "0"))  # 0 = adaptive
 COMPUTE_ITERS = int(os.environ.get("ADAS_BENCH_COMPUTE_ITERS", "30"))
 FULL = os.environ.get("ADAS_BENCH_FULL", "0") == "1"
 DOWNSCALE = os.environ.get("ADAS_BENCH_DOWNSCALE", "auto")
+#: 1 = additionally measure device-KF vs host-KF at depth 1 (the only
+#: depth device-KF supports: its predict must see the state its fetch
+#: updates — multistream.py submit())
+DEVICE_KF = os.environ.get("ADAS_BENCH_DEVICE_KF", "0") == "1"
+#: headline serving precision: "bf16" or "int8" (calibrated + packed —
+#: the TRT-grade static pipeline)
+DTYPE = os.environ.get("ADAS_BENCH_DTYPE", "bf16")
 BASELINE_FPS = 300.0
 
 #: adaptive host downscale ladder (I420 transport, bytes/frame =
@@ -55,7 +62,10 @@ def probe_bandwidth_mbps(size_mb: float = 2.0, reps: int = 3) -> float:
     import jax
     import jax.numpy as jnp
 
-    buf = np.zeros((int(size_mb * 1e6),), np.uint8)
+    # random payload: a compressing transport would make zeros look fast
+    buf = np.random.default_rng(1).integers(
+        0, 255, (int(size_mb * 1e6),), dtype=np.uint8
+    )
     jax.block_until_ready(jnp.asarray(buf))  # warm the path
     best = float("inf")
     for _ in range(reps):
@@ -108,6 +118,36 @@ def _pipelined_fps(ms, batches, depth: int) -> float:
     # best of 5 windows: tunnel throughput to the test chip is noisy
     dt = min(run_window() for _ in range(5))
     return N_TICKS * N_STREAMS / dt
+
+
+def _depth1_fps(ms, batches, ticks: int = 12) -> float:
+    """Unpipelined (submit+fetch per tick) throughput — the only mode
+    device-KF streams support."""
+
+    def window() -> float:
+        t0 = time.perf_counter()
+        for i in range(ticks):
+            ms.process_batch(batches[i % len(batches)])
+        return time.perf_counter() - t0
+
+    return ticks * N_STREAMS / min(window() for _ in range(3))
+
+
+def _device_kf_rows(yolo, lane, batches, downscale) -> dict:
+    """Measured device-KF delta at depth 1 (VERDICT: prove it or bound
+    it).  Same models, same transport, KF predict on device vs host."""
+    from adas_tpu.pipeline.multistream import MultiStreamADAS
+
+    out = {}
+    for name, kf in (("host_kf", False), ("device_kf", True)):
+        ms = MultiStreamADAS(
+            yolo, lane, N_STREAMS, frame_hw=(720, 1280),
+            host_downscale=downscale, transport="i420", device_kf=kf,
+        )
+        for b in batches[:2]:
+            ms.process_batch(b)
+        out[f"{name}_depth1_fps"] = round(_depth1_fps(ms, batches), 2)
+    return out
 
 
 def _compute_fps(ms, batches) -> float:
@@ -343,12 +383,24 @@ def main() -> None:
         scale=SCALE,
         box_score=0.25,
         input_size=(640, 640),
-        compute_dtype="bf16",
+        compute_dtype=DTYPE,
     )
     lane = UltrafastLaneDetectorV2(
         model_path=None, model_type=LaneModelType.UFLDV2_CULANE,
-        dtype=jnp.bfloat16,
+        dtype=jnp.bfloat16 if DTYPE == "bf16" else DTYPE,
     )
+    if DTYPE == "int8":
+        # static activation scales (TRT-calibrator analogue) so the
+        # fused step runs the fully static int8 pipeline; frames at the
+        # serving (downscaled) geometry
+        import cv2
+
+        dh, dw = downscale
+        calib = [
+            cv2.resize(batches[0][i], (dw, dh)) for i in range(2)
+        ]
+        yolo.calibrate_int8(calib)
+        lane.calibrate_int8(calib)
     ms = MultiStreamADAS(
         yolo, lane, N_STREAMS, frame_hw=(720, 1280),
         host_downscale=downscale, transport="i420",
@@ -364,6 +416,7 @@ def main() -> None:
         "unit": "frames/s",
         "vs_baseline": 0.0,
         "streams": N_STREAMS,
+        "dtype": DTYPE,
         "tunnel_mbps": round(bw, 1),
         "transport": {"downscale": list(downscale), "depth": depth},
         "compute_fps": round(_compute_fps(ms, batches), 2),
@@ -372,6 +425,10 @@ def main() -> None:
     fps = _pipelined_fps(ms, batches, depth)
     record["value"] = round(fps, 2)
     record["vs_baseline"] = round(fps / BASELINE_FPS, 3)
+    if DEVICE_KF:
+        record["device_kf"] = _device_kf_rows(
+            yolo, lane, batches, downscale
+        )
     if FULL:
         record["configs"] = _full_configs(rng)
     print(json.dumps(record))

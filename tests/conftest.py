@@ -41,3 +41,22 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """Teardown barrier: drain pending dispatches and drop compiled
+    executables/live arrays BEFORE interpreter exit.
+
+    The round-1/2 flake family (sporadic faulthandler dump / SIGABRT at
+    process teardown after mesh-sharded runs) is PJRT CPU-client
+    destructor order racing live sharded arrays still referenced from
+    test-module globals and jit caches.  Releasing them here runs their
+    destructors while the runtime is fully alive."""
+    import gc
+
+    try:
+        jax.effects_barrier()
+    except Exception:
+        pass
+    jax.clear_caches()
+    gc.collect()

@@ -57,15 +57,20 @@ def _rel_err(a: np.ndarray, b: np.ndarray) -> float:
 
 
 class TestYoloV6Parity:
-    @pytest.mark.parametrize("scale", ["n", "s"])
+    @pytest.mark.parametrize("scale", ["n", "s", "m", "l"])
     def test_forward_matches_torch(self, scale):
+        """n/s = EfficientRep RepBlock stages; m/l = CSPBep BepC3 stages
+        with the 17-bin DFL head."""
         from adas_tpu.models.yolo import YoloSpec, build_yolo
-        from adas_tpu.models.yolov6 import v6_plan
+        from adas_tpu.models.yolov6 import _V6_CSP_SCALES, v6_plan
         from adas_tpu.tools.yolo_import import yolo_variables
 
         chans, reps = v6_plan(scale)
+        csp_e = (
+            _V6_CSP_SCALES[scale][2] if scale in _V6_CSP_SCALES else 0.0
+        )
         nc = 7
-        tnet = TorchYOLOv6(chans, reps, nc=nc).eval()
+        tnet = TorchYOLOv6(chans, reps, nc=nc, csp_e=csp_e).eval()
         _randomize(tnet)
         x = torch.randn(1, 3, 96, 96, generator=torch.Generator().manual_seed(1))
         with torch.no_grad():
@@ -202,7 +207,10 @@ class TestEfficientDetParity:
             variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
         )
         boxes, probs = np.asarray(boxes), np.asarray(probs)
+        # 5e-4: torch's in-process conv-algorithm selection shifts f32
+        # rollups by ~1e-4 through this depth (semantic bugs measured
+        # 8e-2 during development — two orders of magnitude away)
         assert probs.shape == cls_ref.numpy().shape
-        assert _rel_err(probs, cls_ref.numpy()) < 1e-4
+        assert _rel_err(probs, cls_ref.numpy()) < 5e-4
         assert boxes.shape == boxes_ref.shape
-        assert _rel_err(boxes, boxes_ref) < 1e-4
+        assert _rel_err(boxes, boxes_ref) < 5e-4

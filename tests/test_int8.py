@@ -390,3 +390,30 @@ class TestInt8Calibration:
         )
         with pytest.raises(ValueError):
             det.calibrate_int8([])
+
+
+class TestInt8Policy:
+    def test_depthwise_conv_serves_bf16_under_int8(self, rng):
+        """Grouped/depthwise convs are int8-ineligible (VPU-bound; the
+        quantize passes only cost) and run bf16 under quantized("int8");
+        param tree is unchanged either way."""
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 8)), jnp.float32)
+        m = ConvBN(8, (3, 3), groups=8)
+        v = m.init(jax.random.PRNGKey(0), x)
+        with quantized("int8"):
+            v_q = m.init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v_q)
+        ref = np.asarray(m.apply(v, x))
+        with quantized("int8"):
+            got = np.asarray(jax.jit(lambda v, x: m.apply(v, x))(v, x))
+        # bf16 rounding only — much tighter than int8 quantization noise
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < 0.02, rel
+
+    def test_tiny_cin_stem_not_quantized(self, rng):
+        """C_in<=4 stems (lane-padding-bound) also serve bf16."""
+        from adas_tpu.models.layers import int8_conv_eligible
+
+        assert not int8_conv_eligible(1, 3)
+        assert not int8_conv_eligible(8, 64)
+        assert int8_conv_eligible(1, 64)

@@ -40,9 +40,10 @@ def _flatten(tree, prefix=()):
 def _inverse_transform(dst_path, value):
     """Undo the flax-side layout to synthesize a torch-shaped tensor."""
     if dst_path[-1] == "kernel":
-        if "upsample_transpose" in dst_path:  # flax (kh,kw,in,out) -> torch (in,out,kh,kw)
-            return np.transpose(value, (2, 3, 0, 1))
-        if value.ndim == 4:  # HWIO -> OIHW
+        # HWIO -> OIHW; also covers upsample_transpose, whose
+        # transpose_kernel=True layout (kh,kw,out,in) inverts to torch
+        # ConvTranspose2d (in,out,kh,kw) with the same permutation
+        if value.ndim == 4:
             return np.transpose(value, (3, 2, 0, 1))
         return value.T
     if dst_path[-1].endswith("_implicit"):  # (1,1,1,C) -> (1,C,1,1)
@@ -55,7 +56,8 @@ def _inverse_transform(dst_path, value):
     [
         ("v8", "n"), ("v5", "n"), ("v10", "n"), ("v10", "s"),
         ("v10", "m"), ("v10", "x"),
-        ("v6", "n"), ("v6", "s"), ("v7", "l"), ("v9", "c"),
+        ("v6", "n"), ("v6", "s"), ("v6", "m"), ("v6", "l"),
+        ("v7", "l"), ("v9", "c"),
         ("v5lite", "e"), ("v5lite", "s"),
     ],
 )

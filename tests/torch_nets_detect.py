@@ -88,6 +88,63 @@ class TorchRepBlock(nn.Module):
         return x
 
 
+
+class TorchBottleRep(nn.Module):
+    """meituan BottleRep: two RepVGGs + alpha-weighted residual."""
+
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.conv1 = TorchRepVGGBlock(cin, cout)
+        self.conv2 = TorchRepVGGBlock(cout, cout)
+        self.shortcut = cin == cout
+        if self.shortcut:
+            self.alpha = nn.Parameter(torch.ones(1))
+
+    def forward(self, x):
+        y = self.conv2(self.conv1(x))
+        return y + self.alpha * x if self.shortcut else y
+
+
+class _RepBlockBottle(nn.Module):
+    """RepBlock(block=BottleRep): conv1 + block.{0..n//2-2}."""
+
+    def __init__(self, cin, cout, n):
+        super().__init__()
+        self.conv1 = TorchBottleRep(cin, cout)
+        k = n // 2
+        self.block = (
+            nn.ModuleList(TorchBottleRep(cout, cout) for _ in range(k - 1))
+            if k > 1
+            else None
+        )
+
+    def forward(self, x):
+        x = self.conv1(x)
+        if self.block is not None:
+            for b in self.block:
+                x = b(x)
+        return x
+
+
+class TorchBepC3(nn.Module):
+    def __init__(self, cin, cout, n, e):
+        super().__init__()
+        c_ = int(cout * e)
+        self.cv1 = CB(cin, c_, 1, act="relu")
+        self.cv2 = CB(cin, c_, 1, act="relu")
+        self.cv3 = CB(2 * c_, cout, 1, act="relu")
+        self.m = _RepBlockBottle(c_, c_, n)
+
+    def forward(self, x):
+        return self.cv3(torch.cat([self.m(self.cv1(x)), self.cv2(x)], 1))
+
+
+def _v6_stage(cin, cout, n, csp_e):
+    if csp_e:
+        return TorchBepC3(cin, cout, n, csp_e)
+    return TorchRepBlock(cin, cout, n)
+
+
 class TorchSimSPPF(nn.Module):
     def __init__(self, cin, cout):
         super().__init__()
@@ -113,22 +170,25 @@ class _Transpose(nn.Module):
 
 
 class _ERBackbone(nn.Module):
-    def __init__(self, chans, reps):
+    def __init__(self, chans, reps, csp_e=0.0):
         super().__init__()
         c, r = chans, reps
         self.stem = TorchRepVGGBlock(3, c[0], 2)
         self.ERBlock_2 = nn.Sequential(
-            TorchRepVGGBlock(c[0], c[1], 2), TorchRepBlock(c[1], c[1], r[1])
+            TorchRepVGGBlock(c[0], c[1], 2),
+            _v6_stage(c[1], c[1], r[1], csp_e),
         )
         self.ERBlock_3 = nn.Sequential(
-            TorchRepVGGBlock(c[1], c[2], 2), TorchRepBlock(c[2], c[2], r[2])
+            TorchRepVGGBlock(c[1], c[2], 2),
+            _v6_stage(c[2], c[2], r[2], csp_e),
         )
         self.ERBlock_4 = nn.Sequential(
-            TorchRepVGGBlock(c[2], c[3], 2), TorchRepBlock(c[3], c[3], r[3])
+            TorchRepVGGBlock(c[2], c[3], 2),
+            _v6_stage(c[3], c[3], r[3], csp_e),
         )
         self.ERBlock_5 = nn.Sequential(
             TorchRepVGGBlock(c[3], c[4], 2),
-            TorchRepBlock(c[4], c[4], r[4]),
+            _v6_stage(c[4], c[4], r[4], csp_e),
             TorchSimSPPF(c[4], c[4]),
         )
 
@@ -142,19 +202,19 @@ class _ERBackbone(nn.Module):
 
 
 class _RepPAN(nn.Module):
-    def __init__(self, chans, reps):
+    def __init__(self, chans, reps, csp_e=0.0):
         super().__init__()
         c, r = chans, reps
         self.reduce_layer0 = CB(c[4], c[5], 1, act="relu")
         self.upsample0 = _Transpose(c[5])
-        self.Rep_p4 = TorchRepBlock(c[5] + c[3], c[5], r[5])
+        self.Rep_p4 = _v6_stage(c[5] + c[3], c[5], r[5], csp_e)
         self.reduce_layer1 = CB(c[5], c[6], 1, act="relu")
         self.upsample1 = _Transpose(c[6])
-        self.Rep_p3 = TorchRepBlock(c[6] + c[2], c[6], r[6])
+        self.Rep_p3 = _v6_stage(c[6] + c[2], c[6], r[6], csp_e)
         self.downsample2 = CB(c[6], c[7], 3, 2, act="relu")
-        self.Rep_n3 = TorchRepBlock(c[7] + c[6], c[8], r[7])
+        self.Rep_n3 = _v6_stage(c[7] + c[6], c[8], r[7], csp_e)
         self.downsample1 = CB(c[8], c[9], 3, 2, act="relu")
-        self.Rep_n4 = TorchRepBlock(c[9] + c[5], c[10], r[8])
+        self.Rep_n4 = _v6_stage(c[9] + c[5], c[10], r[8], csp_e)
 
     def forward(self, feats):
         p3, p4, p5 = feats
@@ -168,9 +228,12 @@ class _RepPAN(nn.Module):
 
 
 class _EffiDeHead(nn.Module):
-    def __init__(self, head_chans, nc):
+    def __init__(self, head_chans, nc, use_dfl=False):
         super().__init__()
         self.nc = nc
+        self.use_dfl = use_dfl
+        self.reg_max = 16
+        reg_out = 4 * (self.reg_max + 1) if use_dfl else 4
         self.stems = nn.ModuleList(
             CB(ch, ch, 1, act="silu") for ch in head_chans
         )
@@ -184,7 +247,7 @@ class _EffiDeHead(nn.Module):
             nn.Conv2d(ch, nc, 1) for ch in head_chans
         )
         self.reg_preds = nn.ModuleList(
-            nn.Conv2d(ch, 4, 1) for ch in head_chans
+            nn.Conv2d(ch, reg_out, 1) for ch in head_chans
         )
 
     def forward(self, feats):
@@ -193,6 +256,16 @@ class _EffiDeHead(nn.Module):
             s = self.stems[li](f)
             cls = torch.sigmoid(self.cls_preds[li](self.cls_convs[li](s)))
             reg = self.reg_preds[li](self.reg_convs[li](s))
+            if self.use_dfl:
+                # meituan effidehead deploy: reshape (b, 4, 17, hw),
+                # softmax over bins, proj_conv arange expectation
+                b_, _, hh, ww = reg.shape
+                r = reg.reshape(b_, 4, self.reg_max + 1, hh * ww)
+                r = torch.softmax(r, dim=2)
+                proj = torch.arange(
+                    self.reg_max + 1, dtype=torch.float32
+                ).view(1, 1, -1, 1)
+                reg = (r * proj).sum(2).reshape(b_, 4, hh, ww)
             b, _, h, w = cls.shape
             # NCHW -> (B, HW, C): match the export's cell-major layout
             cls = cls.permute(0, 2, 3, 1).reshape(b, h * w, self.nc)
@@ -221,12 +294,12 @@ class TorchYOLOv6(nn.Module):
     """Full meituan v6 n/s: checkpoint keys ``backbone.* / neck.* /
     detect.*`` exactly as yolov6_mapping consumes."""
 
-    def __init__(self, chans, reps, nc=80):
+    def __init__(self, chans, reps, nc=80, csp_e=0.0):
         super().__init__()
-        self.backbone = _ERBackbone(chans, reps)
-        self.neck = _RepPAN(chans, reps)
+        self.backbone = _ERBackbone(chans, reps, csp_e)
+        self.neck = _RepPAN(chans, reps, csp_e)
         head_chans = (chans[6], chans[8], chans[10])
-        self.detect = _EffiDeHead(head_chans, nc)
+        self.detect = _EffiDeHead(head_chans, nc, use_dfl=bool(csp_e))
 
     def forward(self, x):
         return self.detect(self.neck(self.backbone(x)))

@@ -14,6 +14,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from adas_tpu.engine.xla_engine import enable_persistent_cache
+
+enable_persistent_cache()
+
 from adas_tpu.models.layers import quantized
 
 ITERS = 20
