@@ -264,6 +264,11 @@ def int8_conv_apply(
         y = y + bias
     if act is not None:
         y = act(y)
+    if fold is not None:
+        # folded (Conv+BN) layers emit bf16: halves inter-layer HBM
+        # traffic vs f32 (the next conv's quantize and any residual/
+        # concat consumers read 2 bytes, not 4); epilogue math stays f32
+        y = y.astype(jnp.bfloat16)
     return y
 
 

@@ -242,6 +242,11 @@ def i420_to_bgr(yuv: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
     v = yuv[h + h // 4 :].reshape(h // 2, w // 2).astype(jnp.float32)
 
     def up2(p):
+        # measured on v5e (8 frames, chained): repeat 1.57 ms vs
+        # broadcast-reshape 3.22 — XLA lowers this repeat better than
+        # the broadcast/reshape form, so keep it.  The op's floor is the
+        # channel-minor (H, W, 3) f32 output layout (minor dim 3 defeats
+        # 128-lane vectorization), not the upsample.
         return jnp.repeat(jnp.repeat(p, 2, axis=0), 2, axis=1)
 
     uu = up2(u) - 128.0

@@ -45,34 +45,54 @@ DOWNSCALE = os.environ.get("ADAS_BENCH_DOWNSCALE", "auto")
 #: depth device-KF supports: its predict must see the state its fetch
 #: updates — multistream.py submit())
 DEVICE_KF = os.environ.get("ADAS_BENCH_DEVICE_KF", "0") == "1"
-#: headline serving precision: "bf16" or "int8" (calibrated + packed —
-#: the TRT-grade static pipeline)
-DTYPE = os.environ.get("ADAS_BENCH_DTYPE", "bf16")
+#: headline serving precision: "int8" (calibrated + packed — the
+#: TRT-grade static pipeline, fastest measured) or "bf16"
+DTYPE = os.environ.get("ADAS_BENCH_DTYPE", "int8")
 BASELINE_FPS = 300.0
 
 #: adaptive host downscale ladder (I420 transport, bytes/frame =
 #: h*w*1.5): picked by the measured tunnel bandwidth so upload never
 #: dominates the tick.  The floor keeps ~(64%, 64%) of 720p linear res.
-_DOWNSCALE_LADDER = [(360, 640), (324, 576), (288, 512), (252, 448)]
+_DOWNSCALE_LADDER = [
+    (360, 640), (324, 576), (288, 512), (252, 448), (216, 384),
+]
 
 
 def probe_bandwidth_mbps(size_mb: float = 2.0, reps: int = 3) -> float:
     """Measured host->device bandwidth (MB/s) through whatever attaches
-    the chip (PCIe locally; the ~10-35 MB/s tunnel on the test rig)."""
+    the chip (PCIe locally; the ~10-35 MB/s tunnel on the test rig).
+
+    Each rep uploads a DISTINCT freshly-allocated random array: JAX
+    caches device transfers of an unchanged host array, so re-putting
+    one buffer measures the cache, not the link (observed 1311 "MB/s"
+    on a 27 MB/s tunnel).  Random payload because a compressing
+    transport would make zeros look fast."""
     import jax
     import jax.numpy as jnp
 
-    # random payload: a compressing transport would make zeros look fast
-    buf = np.random.default_rng(1).integers(
-        0, 255, (int(size_mb * 1e6),), dtype=np.uint8
-    )
-    jax.block_until_ready(jnp.asarray(buf))  # warm the path
-    best = float("inf")
-    for _ in range(reps):
+    rng = np.random.default_rng(1)
+    bufs = [
+        rng.integers(0, 255, (int(size_mb * 1e6),), dtype=np.uint8)
+        for _ in range(reps + 1)
+    ]
+    tiny = [
+        rng.integers(0, 255, (1024,), dtype=np.uint8)
+        for _ in range(reps + 1)
+    ]
+
+    def put(buf) -> float:
+        # float(sum()) forces the bytes onto the device: on the
+        # tunneled plugin, block_until_ready on a fresh transfer can
+        # return before the data actually moves
         t0 = time.perf_counter()
-        jax.block_until_ready(jnp.asarray(buf))
-        best = min(best, time.perf_counter() - t0)
-    return size_mb / best
+        float(jnp.asarray(buf).sum())
+        return time.perf_counter() - t0
+
+    put(bufs[0])
+    put(tiny[0])  # warm both shapes (compiles the sum)
+    big = min(put(b) for b in bufs[1:])
+    floor = min(put(t) for t in tiny[1:])  # dispatch+fetch latency
+    return size_mb / max(big - floor, 1e-3)
 
 
 def choose_transport(bw_mbps: float, n_streams: int):
@@ -82,9 +102,13 @@ def choose_transport(bw_mbps: float, n_streams: int):
     tunnel costs resolution, never throughput collapse (the round-2
     regression this adaptivity exists to prevent)."""
     budget_s = 0.110
+    # plan at 0.6x the probed burst rate: tunnel sustained throughput
+    # runs well below a single-buffer burst (observed 20 MB/s probe,
+    # ~3 MB/s sustained in a degraded window)
+    plan_bw = 0.6 * bw_mbps
     for hw in _DOWNSCALE_LADDER:
         mb = hw[0] * hw[1] * 1.5 * n_streams / 1e6
-        if mb / max(bw_mbps, 1e-6) <= budget_s:
+        if mb / max(plan_bw, 1e-6) <= budget_s:
             return hw, 3
     return _DOWNSCALE_LADDER[-1], 4
 
