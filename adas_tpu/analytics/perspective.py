@@ -165,9 +165,17 @@ class PerspectiveTransformation:
         if draw:
             import cv2
 
+            # degenerate fits (noise/colinear lanes) can put veh_pos far
+            # outside int32 — cv2 5.0 then fails overload resolution
+            # with a misleading img-layout error; clamp to the canvas
+            def _cx(v):
+                if not np.isfinite(v):
+                    return int(cen_pos)
+                return int(np.clip(v, -img.shape[1], 2 * img.shape[1]))
+
             cv2.arrowedLine(
-                img, (int(veh_pos), int(y_eval)),
-                (int(veh_pos), int(img.shape[1] / 3)),
+                img, (_cx(veh_pos), int(y_eval)),
+                (_cx(veh_pos), int(img.shape[1] / 3)),
                 (255, 255, 255), 5, 0, 0, 0.2,
             )
             cv2.arrowedLine(
@@ -200,10 +208,19 @@ class PerspectiveTransformation:
                 color = LANE_COLORS[lane_num]
             h, w = image.shape[:2]
             for x, y in lane_points:
-                # points behind the horizon project to huge coordinates;
-                # skip anything far outside the canvas (cv2 rejects them)
-                if -w <= x <= 2 * w and -h <= y <= 2 * h:
+                # points behind the horizon project to huge/non-finite
+                # coordinates; skip anything far outside the canvas
+                # (cv2 5.0 rejects extreme values with a misleading
+                # "img layout" overload error)
+                if not (
+                    np.isfinite(x) and np.isfinite(y)
+                    and -w <= x <= 2 * w and -h <= y <= 2 * h
+                ):
+                    continue
+                try:
                     cv2.circle(image, (int(x), int(y)), 10, color, -1)
+                except cv2.error:
+                    continue
 
     def DrawTransformFrontalViewArea(self, image: np.ndarray) -> None:
         import cv2

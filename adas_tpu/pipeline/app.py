@@ -9,10 +9,23 @@ device round-trips per frame each run a single fused jitted step
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Optional
 
 import numpy as np
+
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    # Honor a CPU pin BEFORE any backend initializes: with the tunneled
+    # TPU plugin resident, the env var alone is not enough (the plugin's
+    # register() still runs and destabilizes the CPU backend — sporadic
+    # corrupt buffer fetches that surface as cv2 "img layout" errors in
+    # the draw code).  Same guard as __graft_entry__ / tests/conftest.
+    import jax as _jax
+    from jax._src import xla_bridge as _xb
+
+    _xb._backend_factories.pop("axon", None)
+    _jax.config.update("jax_platforms", "cpu")
 
 from ..analytics import (
     PerspectiveTransformation,
@@ -261,15 +274,50 @@ def run_video(
     return n
 
 
+def run_synthetic(
+    output_path: str, frames: int = 16, frame_hw=(720, 1280)
+) -> int:
+    """Headless smoke run on synthetic noise frames (no video asset
+    needed — the reference's demo requires files its repo never ships,
+    demo.py:220-228); exercises the full pipeline + HUD and writes an
+    annotated mp4."""
+    import cv2
+    import numpy as np
+
+    h, w = frame_hw
+    fourcc = cv2.VideoWriter_fourcc("m", "p", "4", "v")
+    vout = cv2.VideoWriter(output_path, fourcc, 30.0, (w, h))
+    pipeline = ADASPipeline(frame_size=(w, h))
+    rng = np.random.default_rng(0)
+    for _ in range(frames):
+        frame = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        vout.write(pipeline.process_frame(frame))
+    vout.release()
+    return frames
+
+
 def main() -> None:
     import argparse
 
     ap = argparse.ArgumentParser(description="ADAS demo pipeline")
-    ap.add_argument("-i", "--input", required=True, help="input video")
+    ap.add_argument("-i", "--input", default=None, help="input video")
     ap.add_argument("-o", "--output", default=None, help="output video")
     ap.add_argument("--display", action="store_true")
     ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument(
+        "--synthetic", action="store_true",
+        help="run on synthetic noise frames (no input video needed)",
+    )
+    ap.add_argument("--frames", type=int, default=16,
+                    help="frame count for --synthetic")
     args = ap.parse_args()
+    if args.synthetic:
+        out = args.output or "synthetic_out.mp4"
+        n = run_synthetic(out, frames=args.frames)
+        print(f"wrote {n} frames to {out}")
+        return
+    if not args.input:
+        ap.error("-i/--input is required unless --synthetic")
     out = args.output or args.input[:-4] + "_out.mp4"
     frames = run_video(
         args.input, out, display=args.display, max_frames=args.max_frames
