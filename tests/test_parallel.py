@@ -114,3 +114,64 @@ def test_checkpoint_save_restore(tmp_path):
         restored["params"]["cls_fc1"]["kernel"].sharding
         == fresh["params"]["cls_fc1"]["kernel"].sharding
     )
+
+
+def test_aux_seg_training(tmp_path):
+    """use_aux=True trains with the reference's auxiliary segmentation
+    loss (configs/*.py use_aux + seg_model.py SegHead): seg head params
+    exist, loss includes the seg term, and a few steps reduce it."""
+    from adas_tpu.models.ufld import UFLDv2Spec
+    from adas_tpu.parallel import make_ufld_train_state, make_ufld_train_step
+    from adas_tpu.parallel.sharding import batch_sharding
+
+    spec = UFLDv2Spec(
+        input_height=64, input_width=128, crop_ratio=0.8,
+        num_cell_row=16, num_row=8, num_cell_col=16, num_col=8,
+        fc_norm=True, mlp_mid=64, img_w=128, img_h=64,
+    )
+    mesh = make_mesh(8)
+    net, tx, state = make_ufld_train_state(
+        spec, mesh, jax.random.PRNGKey(0), learning_rate=0.02,
+        use_aux=True,
+    )
+    assert "seg_head" in state["params"]
+    step = make_ufld_train_step(net, tx, mesh, state)
+
+    rng = np.random.default_rng(3)
+    b = 8
+    batch_np = {
+        "images": rng.normal(size=(b, 64, 128, 3)).astype(np.float32),
+        "row_targets": rng.integers(0, 16, (b, 8, 4)),
+        "col_targets": rng.integers(0, 16, (b, 8, 4)),
+        "row_exist": rng.integers(0, 2, (b, 8, 4)),
+        "col_exist": rng.integers(0, 2, (b, 8, 4)),
+        # seg head emits at stride 8 of the input
+        "seg_targets": rng.integers(0, 5, (b, 8, 16)),
+    }
+    batch = {
+        k: jax.device_put(jnp.asarray(v), batch_sharding(mesh, np.ndim(v)))
+        for k, v in batch_np.items()
+    }
+    losses = []
+    for _ in range(4):
+        state, loss = step(state, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+    # aux loss is actually part of the objective: same weights/batch
+    # WITHOUT seg_targets yields a smaller loss value
+    from adas_tpu.parallel.train import ufld_loss
+
+    x = jnp.asarray(batch_np["images"][:1])
+    outs = net.apply(
+        {"params": jax.device_get(state["params"]),
+         "batch_stats": jax.device_get(state["batch_stats"])},
+        x, train=False,
+    )
+    b1 = {k: jnp.asarray(v[:1]) for k, v in batch_np.items()}
+    with_aux = float(ufld_loss(outs, b1))
+    without = float(
+        ufld_loss(outs, {k: v for k, v in b1.items() if k != "seg_targets"})
+    )
+    assert with_aux > without
