@@ -214,3 +214,66 @@ class TestEfficientDetParity:
         assert _rel_err(probs, cls_ref.numpy()) < 5e-4
         assert boxes.shape == boxes_ref.shape
         assert _rel_err(boxes, boxes_ref) < 5e-4
+
+
+class TestYoloV8Parity:
+    """The flagship family gets the same activation-level proof."""
+
+    @pytest.mark.parametrize("scale", ["n", "s"])
+    def test_forward_matches_torch(self, scale):
+        from adas_tpu.models.yolo import YoloSpec, build_yolo
+        from adas_tpu.tools.yolo_import import yolo_variables
+        from tests.torch_nets_detect import TorchYOLOv8
+
+        spec = YoloSpec(
+            family="v8", scale=scale, num_classes=9, input_size=(96, 96)
+        )
+        tnet = TorchYOLOv8(
+            list(spec.channels), list(spec.depths), nc=9
+        ).eval()
+        _randomize(tnet)
+        x = torch.randn(
+            1, 3, 96, 96, generator=torch.Generator().manual_seed(4)
+        )
+        with torch.no_grad():
+            ref = tnet(x).numpy()
+
+        net = build_yolo(spec)
+        variables = yolo_variables(_state(tnet), spec)
+        out = np.asarray(
+            jax.jit(lambda v, xi: net.apply(v, xi))(
+                variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+            )
+        )
+        assert out.shape == ref.shape
+        assert _rel_err(out, ref) < 1e-4
+
+
+class TestYoloV5Parity:
+    def test_forward_matches_torch(self):
+        from adas_tpu.models.yolo import YoloSpec, build_yolo
+        from adas_tpu.tools.yolo_import import yolo_variables
+        from tests.torch_nets_detect import TorchYOLOv5
+
+        spec = YoloSpec(
+            family="v5", scale="n", num_classes=11, input_size=(96, 96)
+        )
+        tnet = TorchYOLOv5(
+            list(spec.channels), list(spec.depths), nc=11
+        ).eval()
+        _randomize(tnet)
+        x = torch.randn(
+            1, 3, 96, 96, generator=torch.Generator().manual_seed(5)
+        )
+        with torch.no_grad():
+            ref = tnet(x).numpy()
+
+        net = build_yolo(spec)
+        variables = yolo_variables(_state(tnet), spec)
+        out = np.asarray(
+            jax.jit(lambda v, xi: net.apply(v, xi))(
+                variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+            )
+        )
+        assert out.shape == ref.shape
+        assert _rel_err(out, ref) < 1e-4

@@ -317,11 +317,13 @@ V7_ANCHORS = (
 
 
 class V7Conv(nn.Module):
-    """ultralytics-style Conv (conv+bn+SiLU) — children conv/bn."""
+    """ultralytics-style Conv (conv+bn+SiLU) — children conv/bn.
+    Default padding (k-1)//2; the v5 6x6 stem uses explicit p=2 in
+    ultralytics, which (k-1)//2 reproduces."""
 
     def __init__(self, cin, cout, k=1, s=1):
         super().__init__()
-        self.conv = nn.Conv2d(cin, cout, k, s, k // 2, bias=False)
+        self.conv = nn.Conv2d(cin, cout, k, s, (k - 1) // 2, bias=False)
         self.bn = nn.BatchNorm2d(cout)
 
     def forward(self, x):
@@ -840,3 +842,275 @@ class TorchEfficientDet(nn.Module):
             1,
         )
         return box, torch.sigmoid(cls)
+
+
+# --------------------------------------------------------------------------
+# YOLOv8 (ultralytics module-index layout, the flagship family)
+# --------------------------------------------------------------------------
+
+
+class V8Bottleneck(nn.Module):
+    def __init__(self, cin, cout, shortcut, e=1.0, k=(3, 3)):
+        super().__init__()
+        c_ = int(cout * e)
+        self.cv1 = V7Conv(cin, c_, k[0])
+        self.cv2 = V7Conv(c_, cout, k[1])
+        self.add = shortcut and cin == cout
+
+    def forward(self, x):
+        y = self.cv2(self.cv1(x))
+        return x + y if self.add else y
+
+
+class V8C2f(nn.Module):
+    def __init__(self, cin, cout, n, shortcut):
+        super().__init__()
+        self.c = cout // 2
+        self.cv1 = V7Conv(cin, 2 * self.c, 1)
+        self.cv2 = V7Conv((2 + n) * self.c, cout, 1)
+        self.m = nn.ModuleList(
+            V8Bottleneck(self.c, self.c, shortcut, e=1.0)
+            for _ in range(n)
+        )
+
+    def forward(self, x):
+        y = list(self.cv1(x).chunk(2, 1))
+        y.extend(m(y[-1]) for m in self.m)
+        return self.cv2(torch.cat(y, 1))
+
+
+class V8SPPF(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        c_ = cin // 2
+        self.cv1 = V7Conv(cin, c_, 1)
+        self.cv2 = V7Conv(c_ * 4, cout, 1)
+
+    def forward(self, x):
+        y = self.cv1(x)
+        p1 = F.max_pool2d(y, 5, 1, 2)
+        p2 = F.max_pool2d(p1, 5, 1, 2)
+        p3 = F.max_pool2d(p2, 5, 1, 2)
+        return self.cv2(torch.cat([y, p1, p2, p3], 1))
+
+
+class V8Detect(nn.Module):
+    """ultralytics v8 Detect: cv2 box branch (DFL logits), cv3 cls,
+    frozen dfl conv skipped (decoded analytically), export decode
+    (B, 4+nc, N) with xywh in input pixels."""
+
+    def __init__(self, chans, nc, reg_max=16):
+        super().__init__()
+        self.nc, self.reg_max = nc, reg_max
+        c2 = max(16, chans[0] // 4, reg_max * 4)
+        c3 = max(chans[0], min(nc, 100))
+        self.cv2 = nn.ModuleList(
+            nn.Sequential(
+                V7Conv(c, c2, 3), V7Conv(c2, c2, 3),
+                nn.Conv2d(c2, 4 * reg_max, 1),
+            )
+            for c in chans
+        )
+        self.cv3 = nn.ModuleList(
+            nn.Sequential(
+                V7Conv(c, c3, 3), V7Conv(c3, c3, 3),
+                nn.Conv2d(c3, nc, 1),
+            )
+            for c in chans
+        )
+
+    def forward(self, feats):
+        boxes, clss, anchors, strides = [], [], [], []
+        for li, f in enumerate(feats):
+            box = self.cv2[li](f)
+            cls = self.cv3[li](f)
+            b, _, h, w = box.shape
+            # NCHW -> (B, HW, C), cell-major like the NHWC reshape
+            boxes.append(
+                box.permute(0, 2, 3, 1).reshape(b, h * w, 4 * self.reg_max)
+            )
+            clss.append(
+                cls.permute(0, 2, 3, 1).reshape(b, h * w, self.nc)
+            )
+            ys, xs = torch.meshgrid(
+                torch.arange(h, dtype=torch.float32) + 0.5,
+                torch.arange(w, dtype=torch.float32) + 0.5,
+                indexing="ij",
+            )
+            anchors.append(
+                torch.stack([xs.reshape(-1), ys.reshape(-1)], -1)
+            )
+            strides.append(
+                torch.full((h * w,), float(2 ** (3 + li)))
+            )
+        box = torch.cat(boxes, 1)
+        cls = torch.cat(clss, 1)
+        anc = torch.cat(anchors, 0)
+        strd = torch.cat(strides, 0)
+        # DFL: softmax expectation over reg_max bins per side.
+        # channel c = side*reg_max + bin (ultralytics view(4, reg_max))
+        b, n, _ = box.shape
+        r = box.reshape(b, n, 4, self.reg_max).softmax(-1)
+        ltrb = (r * torch.arange(self.reg_max, dtype=torch.float32)).sum(-1)
+        x1y1 = anc - ltrb[..., :2]
+        x2y2 = anc + ltrb[..., 2:]
+        cxy = (x1y1 + x2y2) / 2
+        wh = x2y2 - x1y1
+        xywh = torch.cat([cxy, wh], -1) * strd[None, :, None]
+        out = torch.cat([xywh, cls.sigmoid()], -1)
+        return out.permute(0, 2, 1)  # (B, 4+nc, N) export contract
+
+
+class TorchYOLOv8(nn.Module):
+    """ultralytics yolov8 with ``model.{i}`` module indices (yolov8.yaml:
+    detect at 22)."""
+
+    def __init__(self, chans, depths, nc=80):
+        super().__init__()
+        ch, d = chans, depths
+        m = {}
+        m["0"] = V7Conv(3, ch[0], 3, 2)
+        m["1"] = V7Conv(ch[0], ch[1], 3, 2)
+        m["2"] = V8C2f(ch[1], ch[1], d[0], True)
+        m["3"] = V7Conv(ch[1], ch[2], 3, 2)
+        m["4"] = V8C2f(ch[2], ch[2], d[1], True)
+        m["5"] = V7Conv(ch[2], ch[3], 3, 2)
+        m["6"] = V8C2f(ch[3], ch[3], d[2], True)
+        m["7"] = V7Conv(ch[3], ch[4], 3, 2)
+        m["8"] = V8C2f(ch[4], ch[4], d[3], True)
+        m["9"] = V8SPPF(ch[4], ch[4])
+        m["12"] = V8C2f(ch[4] + ch[3], ch[3], d[0], False)
+        m["15"] = V8C2f(ch[3] + ch[2], ch[2], d[0], False)
+        m["16"] = V7Conv(ch[2], ch[2], 3, 2)
+        m["18"] = V8C2f(ch[2] + ch[3], ch[3], d[0], False)
+        m["19"] = V7Conv(ch[3], ch[3], 3, 2)
+        m["21"] = V8C2f(ch[3] + ch[4], ch[4], d[0], False)
+        m["22"] = V8Detect((ch[2], ch[3], ch[4]), nc)
+        self.model = nn.ModuleDict(m)
+
+    def forward(self, x):
+        m = self.model
+        x = m["1"](m["0"](x))
+        x = m["2"](x)
+        p3 = m["4"](m["3"](x))
+        p4 = m["6"](m["5"](p3))
+        p5 = m["9"](m["8"](m["7"](p4)))
+        up = F.interpolate(p5, scale_factor=2, mode="nearest")
+        t1 = m["12"](torch.cat([up, p4], 1))
+        up = F.interpolate(t1, scale_factor=2, mode="nearest")
+        n3 = m["15"](torch.cat([up, p3], 1))
+        n4 = m["18"](torch.cat([m["16"](n3), t1], 1))
+        n5 = m["21"](torch.cat([m["19"](n4), p5], 1))
+        return m["22"]((n3, n4, n5))
+
+
+# --------------------------------------------------------------------------
+# YOLOv5 (ultralytics v6.x layout: C3 blocks, SPPF at 9, Detect at 24)
+# --------------------------------------------------------------------------
+
+V5_ANCHORS = (
+    ((10, 13), (16, 30), (33, 23)),
+    ((30, 61), (62, 45), (59, 119)),
+    ((116, 90), (156, 198), (373, 326)),
+)
+
+
+class V5C3(nn.Module):
+    def __init__(self, cin, cout, n, shortcut):
+        super().__init__()
+        c_ = cout // 2
+        self.cv1 = V7Conv(cin, c_, 1)
+        self.cv2 = V7Conv(cin, c_, 1)
+        self.cv3 = V7Conv(2 * c_, cout, 1)
+        self.m = nn.ModuleList(
+            V8Bottleneck(c_, c_, shortcut, e=1.0, k=(1, 3))
+            for _ in range(n)
+        )
+
+    def forward(self, x):
+        a = self.cv1(x)
+        for mm in self.m:
+            a = mm(a)
+        return self.cv3(torch.cat([a, self.cv2(x)], 1))
+
+
+class V5Detect(nn.Module):
+    """v5 anchor head, export decode (B, N, 5+nc) post-sigmoid."""
+
+    def __init__(self, chans, nc):
+        super().__init__()
+        self.nc = nc
+        self.m = nn.ModuleList(
+            nn.Conv2d(c, 3 * (5 + nc), 1) for c in chans
+        )
+
+    def forward(self, feats):
+        outs = []
+        for li, f in enumerate(feats):
+            p = self.m[li](f)
+            b, _, h, w = p.shape
+            p = (
+                p.view(b, 3, 5 + self.nc, h, w)
+                .permute(0, 3, 4, 1, 2)
+                .sigmoid()
+            )
+            ys, xs = torch.meshgrid(
+                torch.arange(h, dtype=torch.float32),
+                torch.arange(w, dtype=torch.float32),
+                indexing="ij",
+            )
+            grid = torch.stack([xs, ys], -1)[None, :, :, None, :]
+            anchors = torch.tensor(
+                V5_ANCHORS[li], dtype=torch.float32
+            )[None, None, None]
+            stride = 2 ** (3 + li)
+            xy = (p[..., :2] * 2 - 0.5 + grid) * stride
+            wh = (p[..., 2:4] * 2) ** 2 * anchors
+            out = torch.cat([xy, wh, p[..., 4:]], -1)
+            outs.append(out.reshape(b, h * w * 3, 5 + self.nc))
+        return torch.cat(outs, 1)
+
+
+class TorchYOLOv5(nn.Module):
+    """ultralytics yolov5 v6.x: model.{i} indices, Detect at 24."""
+
+    def __init__(self, chans, depths, nc=80):
+        super().__init__()
+        ch, d = chans, depths
+        m = {}
+        m["0"] = V7Conv(3, ch[0], 6, 2)
+        m["1"] = V7Conv(ch[0], ch[1], 3, 2)
+        m["2"] = V5C3(ch[1], ch[1], d[0], True)
+        m["3"] = V7Conv(ch[1], ch[2], 3, 2)
+        m["4"] = V5C3(ch[2], ch[2], d[1], True)
+        m["5"] = V7Conv(ch[2], ch[3], 3, 2)
+        m["6"] = V5C3(ch[3], ch[3], d[2], True)
+        m["7"] = V7Conv(ch[3], ch[4], 3, 2)
+        m["8"] = V5C3(ch[4], ch[4], d[3], True)
+        m["9"] = V8SPPF(ch[4], ch[4])
+        m["10"] = V7Conv(ch[4], ch[3], 1)
+        m["13"] = V5C3(2 * ch[3], ch[3], d[0], False)
+        m["14"] = V7Conv(ch[3], ch[2], 1)
+        m["17"] = V5C3(2 * ch[2], ch[2], d[0], False)
+        m["18"] = V7Conv(ch[2], ch[2], 3, 2)
+        m["20"] = V5C3(2 * ch[2], ch[3], d[0], False)
+        m["21"] = V7Conv(ch[3], ch[3], 3, 2)
+        m["23"] = V5C3(2 * ch[3], ch[4], d[0], False)
+        m["24"] = V5Detect((ch[2], ch[3], ch[4]), nc)
+        self.model = nn.ModuleDict(m)
+
+    def forward(self, x):
+        m = self.model
+        x = m["2"](m["1"](m["0"](x)))
+        p3 = m["4"](m["3"](x))
+        p4 = m["6"](m["5"](p3))
+        p5 = m["9"](m["8"](m["7"](p4)))
+        p5r = m["10"](p5)
+        up = F.interpolate(p5r, scale_factor=2, mode="nearest")
+        t1 = m["13"](torch.cat([up, p4], 1))
+        t1r = m["14"](t1)
+        up = F.interpolate(t1r, scale_factor=2, mode="nearest")
+        n3 = m["17"](torch.cat([up, p3], 1))
+        n4 = m["20"](torch.cat([m["18"](n3), t1r], 1))
+        n5 = m["23"](torch.cat([m["21"](n4), p5r], 1))
+        return m["24"]((n3, n4, n5))
