@@ -1114,3 +1114,521 @@ class TorchYOLOv5(nn.Module):
         n4 = m["20"](torch.cat([m["18"](n3), t1r], 1))
         n5 = m["23"](torch.cat([m["21"](n4), p5r], 1))
         return m["24"]((n3, n4, n5))
+
+
+# --------------------------------------------------------------------------
+# YOLOv10 (THU-MIG layout: SCDown/PSA/C2fCIB, dual heads at model.23)
+# --------------------------------------------------------------------------
+
+
+class V10ConvNoAct(nn.Module):
+    def __init__(self, cin, cout, k=1, s=1, g=1):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, k, s, (k - 1) // 2, groups=g,
+                              bias=False)
+        self.bn = nn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        return self.bn(self.conv(x))
+
+
+class V10SCDown(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.cv1 = V7Conv(cin, cout, 1)
+        self.cv2 = V10ConvNoAct(cout, cout, 3, 2, g=cout)
+
+    def forward(self, x):
+        return self.cv2(self.cv1(x))
+
+
+class V10RepVGGDW(nn.Module):
+    """dw 7x7 + dw 3x3 branches (Conv act=False each), summed, SiLU."""
+
+    def __init__(self, c):
+        super().__init__()
+        self.conv = V10ConvNoAct(c, c, 7, 1, g=c)
+        self.conv1 = V10ConvNoAct(c, c, 3, 1, g=c)
+
+    def forward(self, x):
+        return F.silu(self.conv(x) + self.conv1(x))
+
+
+class V10CIB(nn.Module):
+    """5-conv inverted block nested under ``cv1`` Sequential."""
+
+    def __init__(self, cin, cout, shortcut=True, lk=False):
+        super().__init__()
+        mid = V10RepVGGDW(2 * cout) if lk else _DWWrap(2 * cout)
+        self.cv1 = nn.Sequential(
+            _DWWrap(cin),
+            V7Conv(cin, 2 * cout, 1),
+            mid,
+            V7Conv(2 * cout, cout, 1),
+            _DWWrap(cout),
+        )
+        self.add = shortcut and cin == cout
+
+    def forward(self, x):
+        y = self.cv1(x)
+        return x + y if self.add else y
+
+
+class _DWWrap(nn.Module):
+    """Depthwise 3x3 Conv (silu) with conv/bn children."""
+
+    def __init__(self, c):
+        super().__init__()
+        self.conv = nn.Conv2d(c, c, 3, 1, 1, groups=c, bias=False)
+        self.bn = nn.BatchNorm2d(c)
+
+    def forward(self, x):
+        return F.silu(self.bn(self.conv(x)))
+
+
+class V10C2fCIB(nn.Module):
+    def __init__(self, cin, cout, n, shortcut, lk):
+        super().__init__()
+        self.c = cout // 2
+        self.cv1 = V7Conv(cin, 2 * self.c, 1)
+        self.cv2 = V7Conv((2 + n) * self.c, cout, 1)
+        self.m = nn.ModuleList(
+            V10CIB(self.c, self.c, shortcut, lk) for _ in range(n)
+        )
+
+    def forward(self, x):
+        y = list(self.cv1(x).chunk(2, 1))
+        y.extend(m(y[-1]) for m in self.m)
+        return self.cv2(torch.cat(y, 1))
+
+
+class V10Attention(nn.Module):
+    def __init__(self, dim, num_heads):
+        super().__init__()
+        self.num_heads = num_heads
+        self.head_dim = dim // num_heads
+        self.key_dim = self.head_dim // 2
+        nh_kd = self.key_dim * num_heads
+        self.qkv = V10ConvNoAct(dim, dim + 2 * nh_kd, 1)
+        self.proj = V10ConvNoAct(dim, dim, 1)
+        self.pe = V10ConvNoAct(dim, dim, 3, 1, g=dim)
+
+    def forward(self, x):
+        B, C, H, W = x.shape
+        N = H * W
+        qkv = self.qkv(x)
+        q, k, v = qkv.view(
+            B, self.num_heads, 2 * self.key_dim + self.head_dim, N
+        ).split([self.key_dim, self.key_dim, self.head_dim], dim=2)
+        attn = (q.transpose(-2, -1) @ k) / (self.key_dim ** 0.5)
+        attn = attn.softmax(dim=-1)
+        out = (v @ attn.transpose(-2, -1)).view(B, C, H, W)
+        out = out + self.pe(v.reshape(B, C, H, W))
+        return self.proj(out)
+
+
+class V10PSA(nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.c = c // 2
+        self.cv1 = V7Conv(c, c, 1)
+        self.cv2 = V7Conv(c, c, 1)
+        self.attn = V10Attention(self.c, max(1, self.c // 64))
+        self.ffn = nn.Sequential(
+            V7Conv(self.c, self.c * 2, 1),
+            V10ConvNoAct(self.c * 2, self.c, 1),
+        )
+
+    def forward(self, x):
+        y = self.cv1(x)
+        a, b = y.split([self.c, self.c], dim=1)
+        b = b + self.attn(b)
+        b = b + self.ffn(b)
+        return self.cv2(torch.cat([a, b], 1))
+
+
+class V10Detect(nn.Module):
+    """Dual v10 heads (depthwise cls branches); returns the o2m export
+    raw (B, 4+nc, N) and the o2o per-anchor (xywh, cls) pre-topk."""
+
+    def __init__(self, chans, nc, reg_max=16):
+        super().__init__()
+        self.nc, self.reg_max = nc, reg_max
+        c2 = max(16, chans[0] // 4, reg_max * 4)
+        c3 = max(chans[0], min(nc, 100))
+
+        def box_branch(c):
+            return nn.Sequential(
+                V7Conv(c, c2, 3), V7Conv(c2, c2, 3),
+                nn.Conv2d(c2, 4 * reg_max, 1),
+            )
+
+        def cls_branch(c):
+            return nn.Sequential(
+                nn.Sequential(_DWWrap(c), V7Conv(c, c3, 1)),
+                nn.Sequential(_DWWrap(c3), V7Conv(c3, c3, 1)),
+                nn.Conv2d(c3, nc, 1),
+            )
+
+        self.cv2 = nn.ModuleList(box_branch(c) for c in chans)
+        self.cv3 = nn.ModuleList(cls_branch(c) for c in chans)
+        self.one2one_cv2 = nn.ModuleList(box_branch(c) for c in chans)
+        self.one2one_cv3 = nn.ModuleList(cls_branch(c) for c in chans)
+
+    def _decode(self, feats, cv2, cv3):
+        boxes, clss, anchors, strides = [], [], [], []
+        for li, f in enumerate(feats):
+            box = cv2[li](f)
+            cls = cv3[li](f)
+            b, _, h, w = box.shape
+            boxes.append(
+                box.permute(0, 2, 3, 1).reshape(b, h * w, 4 * self.reg_max)
+            )
+            clss.append(cls.permute(0, 2, 3, 1).reshape(b, h * w, self.nc))
+            ys, xs = torch.meshgrid(
+                torch.arange(h, dtype=torch.float32) + 0.5,
+                torch.arange(w, dtype=torch.float32) + 0.5,
+                indexing="ij",
+            )
+            anchors.append(torch.stack([xs.reshape(-1), ys.reshape(-1)], -1))
+            strides.append(torch.full((h * w,), float(2 ** (3 + li))))
+        box = torch.cat(boxes, 1)
+        cls = torch.cat(clss, 1)
+        anc = torch.cat(anchors, 0)
+        strd = torch.cat(strides, 0)
+        b, n, _ = box.shape
+        r = box.reshape(b, n, 4, self.reg_max).softmax(-1)
+        ltrb = (r * torch.arange(self.reg_max, dtype=torch.float32)).sum(-1)
+        x1y1 = anc - ltrb[..., :2]
+        x2y2 = anc + ltrb[..., 2:]
+        xywh = torch.cat([(x1y1 + x2y2) / 2, x2y2 - x1y1], -1)
+        return xywh * strd[None, :, None], cls.sigmoid()
+
+    def forward(self, feats):
+        xywh_m, cls_m = self._decode(feats, self.cv2, self.cv3)
+        raw = torch.cat([xywh_m, cls_m], -1).permute(0, 2, 1)
+        xywh_o, cls_o = self._decode(
+            feats, self.one2one_cv2, self.one2one_cv3
+        )
+        return raw, (xywh_o, cls_o)
+
+
+class TorchYOLOv10n(nn.Module):
+    """yolov10n: C2f trunk stages, SCDown at 5/7/20, PSA at 10,
+    C2fCIB(lk=True) at 22, dual-head Detect at 23."""
+
+    def __init__(self, chans, depths, nc=80):
+        super().__init__()
+        ch, d = chans, depths
+        m = {}
+        m["0"] = V7Conv(3, ch[0], 3, 2)
+        m["1"] = V7Conv(ch[0], ch[1], 3, 2)
+        m["2"] = V8C2f(ch[1], ch[1], d[0], True)
+        m["3"] = V7Conv(ch[1], ch[2], 3, 2)
+        m["4"] = V8C2f(ch[2], ch[2], d[1], True)
+        m["5"] = V10SCDown(ch[2], ch[3])
+        m["6"] = V8C2f(ch[3], ch[3], d[2], True)
+        m["7"] = V10SCDown(ch[3], ch[4])
+        m["8"] = V8C2f(ch[4], ch[4], d[3], True)
+        m["9"] = V8SPPF(ch[4], ch[4])
+        m["10"] = V10PSA(ch[4])
+        m["13"] = V8C2f(ch[4] + ch[3], ch[3], d[0], False)
+        m["16"] = V8C2f(ch[3] + ch[2], ch[2], d[0], False)
+        m["17"] = V7Conv(ch[2], ch[2], 3, 2)
+        m["19"] = V8C2f(ch[2] + ch[3], ch[3], d[0], False)
+        m["20"] = V10SCDown(ch[3], ch[3])
+        m["22"] = V10C2fCIB(ch[3] + ch[4], ch[4], d[0], True, lk=True)
+        m["23"] = V10Detect((ch[2], ch[3], ch[4]), nc)
+        self.model = nn.ModuleDict(m)
+
+    def forward(self, x):
+        m = self.model
+        x = m["2"](m["1"](m["0"](x)))
+        p3 = m["4"](m["3"](x))
+        p4 = m["6"](m["5"](p3))
+        p5 = m["10"](m["9"](m["8"](m["7"](p4))))
+        up = F.interpolate(p5, scale_factor=2, mode="nearest")
+        t1 = m["13"](torch.cat([up, p4], 1))
+        up = F.interpolate(t1, scale_factor=2, mode="nearest")
+        n3 = m["16"](torch.cat([up, p3], 1))
+        n4 = m["19"](torch.cat([m["17"](n3), t1], 1))
+        n5 = m["22"](torch.cat([m["20"](n4), p5], 1))
+        return m["23"]((n3, n4, n5))
+
+
+# --------------------------------------------------------------------------
+# YOLOv9 (GELAN-C, ultralytics yolov9c layout: detect at 22)
+# --------------------------------------------------------------------------
+
+
+class V9RepConvN(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.conv1 = V10ConvNoAct(cin, cout, 3)
+        self.conv2 = V10ConvNoAct(cin, cout, 1)
+
+    def forward(self, x):
+        return F.silu(self.conv1(x) + self.conv2(x))
+
+
+class V9RepNBottleneck(nn.Module):
+    def __init__(self, cin, cout, shortcut, e=1.0):
+        super().__init__()
+        c_ = int(cout * e)
+        self.cv1 = V9RepConvN(cin, c_)
+        self.cv2 = V7Conv(c_, cout, 3)
+        self.add = shortcut and cin == cout
+
+    def forward(self, x):
+        y = self.cv2(self.cv1(x))
+        return x + y if self.add else y
+
+
+class V9RepNCSP(nn.Module):
+    def __init__(self, cin, cout, n, shortcut=True, e=0.5):
+        super().__init__()
+        c_ = int(cout * e)
+        self.cv1 = V7Conv(cin, c_, 1)
+        self.cv2 = V7Conv(cin, c_, 1)
+        self.cv3 = V7Conv(2 * c_, cout, 1)
+        self.m = nn.ModuleList(
+            V9RepNBottleneck(c_, c_, shortcut, e=1.0) for _ in range(n)
+        )
+
+    def forward(self, x):
+        a = self.cv1(x)
+        for mm in self.m:
+            a = mm(a)
+        return self.cv3(torch.cat([a, self.cv2(x)], 1))
+
+
+class V9RepNCSPELAN4(nn.Module):
+    def __init__(self, cin, c2, c3, c4, n=1):
+        super().__init__()
+        self.half = c3 // 2
+        self.cv1 = V7Conv(cin, c3, 1)
+        self.cv2 = nn.Sequential(
+            V9RepNCSP(self.half, c4, n), V7Conv(c4, c4, 3)
+        )
+        self.cv3 = nn.Sequential(
+            V9RepNCSP(c4, c4, n), V7Conv(c4, c4, 3)
+        )
+        self.cv4 = V7Conv(c3 + 2 * c4, c2, 1)
+
+    def forward(self, x):
+        y = list(self.cv1(x).chunk(2, 1))
+        y.append(self.cv2(y[-1]))
+        y.append(self.cv3(y[-1]))
+        return self.cv4(torch.cat(y, 1))
+
+
+class V9ADown(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        half = cout // 2
+        self.cv1 = V7Conv(cin // 2, half, 3, 2)
+        self.cv2 = V7Conv(cin // 2, half, 1)
+
+    def forward(self, x):
+        x = F.avg_pool2d(x, 2, 1, 0)
+        x1, x2 = x.chunk(2, 1)
+        x1 = self.cv1(x1)
+        x2 = F.max_pool2d(x2, 3, 2, 1)
+        return torch.cat([x1, self.cv2(x2)], 1)
+
+
+class V9SPPELAN(nn.Module):
+    def __init__(self, cin, c2, c3):
+        super().__init__()
+        self.cv1 = V7Conv(cin, c3, 1)
+        self.cv5 = V7Conv(4 * c3, c2, 1)
+
+    def forward(self, x):
+        y = self.cv1(x)
+        p1 = F.max_pool2d(y, 5, 1, 2)
+        p2 = F.max_pool2d(p1, 5, 1, 2)
+        p3 = F.max_pool2d(p2, 5, 1, 2)
+        return self.cv5(torch.cat([y, p1, p2, p3], 1))
+
+
+class TorchYOLOv9c(nn.Module):
+    """gelan-c / yolov9c: model.{i} indices, v8-contract Detect at 22."""
+
+    def __init__(self, nc=80):
+        super().__init__()
+        m = {}
+        m["0"] = V7Conv(3, 64, 3, 2)
+        m["1"] = V7Conv(64, 128, 3, 2)
+        m["2"] = V9RepNCSPELAN4(128, 256, 128, 64, 1)
+        m["3"] = V9ADown(256, 256)
+        m["4"] = V9RepNCSPELAN4(256, 512, 256, 128, 1)
+        m["5"] = V9ADown(512, 512)
+        m["6"] = V9RepNCSPELAN4(512, 512, 512, 256, 1)
+        m["7"] = V9ADown(512, 512)
+        m["8"] = V9RepNCSPELAN4(512, 512, 512, 256, 1)
+        m["9"] = V9SPPELAN(512, 512, 256)
+        m["12"] = V9RepNCSPELAN4(1024, 512, 512, 256, 1)
+        m["15"] = V9RepNCSPELAN4(1024, 256, 256, 128, 1)
+        m["16"] = V9ADown(256, 256)
+        m["18"] = V9RepNCSPELAN4(768, 512, 512, 256, 1)
+        m["19"] = V9ADown(512, 512)
+        m["21"] = V9RepNCSPELAN4(1024, 512, 512, 256, 1)
+        m["22"] = V8Detect((256, 512, 512), nc)
+        self.model = nn.ModuleDict(m)
+
+    def forward(self, x):
+        m = self.model
+        x = m["1"](m["0"](x))
+        x = m["2"](x)
+        p3 = m["4"](m["3"](x))
+        p4 = m["6"](m["5"](p3))
+        p5 = m["9"](m["8"](m["7"](p4)))
+        up = F.interpolate(p5, scale_factor=2, mode="nearest")
+        t1 = m["12"](torch.cat([up, p4], 1))
+        up = F.interpolate(t1, scale_factor=2, mode="nearest")
+        n3 = m["15"](torch.cat([up, p3], 1))
+        n4 = m["18"](torch.cat([m["16"](n3), t1], 1))
+        n5 = m["21"](torch.cat([m["19"](n4), p5], 1))
+        return m["22"]((n3, n4, n5))
+
+
+# --------------------------------------------------------------------------
+# YOLOv5-Lite (ppogg ShuffleNetV2 e/s layout: Detect at 21)
+# --------------------------------------------------------------------------
+
+
+def _channel_shuffle2(x):
+    b, c, h, w = x.shape
+    return (
+        x.view(b, 2, c // 2, h, w).transpose(1, 2).reshape(b, c, h, w)
+    )
+
+
+class LiteStem(nn.Module):
+    """ppogg StemBlock: named children stem_1/2a/2b/3."""
+
+    def __init__(self, cout):
+        super().__init__()
+        self.stem_1 = V7Conv(3, cout, 3, 2)
+        self.stem_2a = V7Conv(cout, cout // 2, 1)
+        self.stem_2b = V7Conv(cout // 2, cout, 3, 2)
+        self.stem_3 = V7Conv(2 * cout, cout, 1)
+
+    def forward(self, x):
+        s1 = self.stem_1(x)
+        y = self.stem_2b(self.stem_2a(s1))
+        p = F.max_pool2d(s1, 2, 2, ceil_mode=True)
+        return self.stem_3(torch.cat([y, p], 1))
+
+
+class LiteShuffle(nn.Module):
+    """ppogg Shuffle_Block: branch Sequentials with ReLU pointwise and
+    act-free depthwise convs."""
+
+    def __init__(self, cin, cout, stride):
+        super().__init__()
+        bf = cout // 2
+        self.stride = stride
+        if stride == 2:
+            self.branch1 = nn.Sequential(
+                nn.Conv2d(cin, cin, 3, stride, 1, groups=cin, bias=False),
+                nn.BatchNorm2d(cin),
+                nn.Conv2d(cin, bf, 1, bias=False),
+                nn.BatchNorm2d(bf),
+                nn.ReLU(inplace=True),
+            )
+            b2_in = cin
+        else:
+            b2_in = cin // 2
+        self.branch2 = nn.Sequential(
+            nn.Conv2d(b2_in, bf, 1, bias=False),
+            nn.BatchNorm2d(bf),
+            nn.ReLU(inplace=True),
+            nn.Conv2d(bf, bf, 3, stride, 1, groups=bf, bias=False),
+            nn.BatchNorm2d(bf),
+            nn.Conv2d(bf, bf, 1, bias=False),
+            nn.BatchNorm2d(bf),
+            nn.ReLU(inplace=True),
+        )
+
+    def forward(self, x):
+        if self.stride == 2:
+            out = torch.cat([self.branch1(x), self.branch2(x)], 1)
+        else:
+            x1, x2 = x.chunk(2, 1)
+            out = torch.cat([x1, self.branch2(x2)], 1)
+        return _channel_shuffle2(out)
+
+
+class LiteDetect(nn.Module):
+    """v5-Lite export contract: sigmoided PRE-grid rows, anchor-major."""
+
+    def __init__(self, chans, nc):
+        super().__init__()
+        self.nc = nc
+        self.m = nn.ModuleList(
+            nn.Conv2d(c, 3 * (5 + nc), 1) for c in chans
+        )
+
+    def forward(self, feats):
+        outs = []
+        for li, f in enumerate(feats):
+            p = self.m[li](f)
+            b, _, h, w = p.shape
+            p = p.view(b, 3, 5 + self.nc, h, w).sigmoid()
+            # anchor-major: (B, na, H, W, C) -> (B, na*H*W, C)
+            p = p.permute(0, 1, 3, 4, 2).reshape(
+                b, 3 * h * w, 5 + self.nc
+            )
+            outs.append(p)
+        return torch.cat(outs, 1)
+
+
+class TorchYOLOv5Lite(nn.Module):
+    """ppogg v5lite-{e,s}: StemBlock at 0, shuffle stages, single-width
+    PAN (C3 at 10/14/17/20), Detect at 21."""
+
+    def __init__(self, stem_ch, stages, repeats, w, nc=80):
+        super().__init__()
+        m = {}
+        m["0"] = LiteStem(stem_ch)
+        cin = stem_ch
+        idx = 1
+        for si, (ch, reps) in enumerate(zip(stages, repeats)):
+            m[str(idx)] = LiteShuffle(cin, ch, 2)
+            idx += 1
+            m[str(idx)] = nn.ModuleList(
+                LiteShuffle(ch, ch, 1) for _ in range(reps)
+            )
+            idx += 1
+            cin = ch
+        m["7"] = V7Conv(stages[2], w, 1)
+        m["10"] = V5C3(w + stages[1], w, 1, False)
+        m["11"] = V7Conv(w, w, 1)
+        m["14"] = V5C3(w + stages[0], w, 1, False)
+        m["15"] = V7Conv(w, w, 3, 2)
+        m["17"] = V5C3(2 * w, w, 1, False)
+        m["18"] = V7Conv(w, w, 3, 2)
+        m["20"] = V5C3(2 * w, w, 1, False)
+        m["21"] = LiteDetect((w, w, w), nc)
+        self.model = nn.ModuleDict(m)
+
+    def forward(self, x):
+        m = self.model
+        x = m["0"](x)
+        feats = []
+        for idx in (1, 3, 5):
+            x = m[str(idx)](x)
+            for blk in m[str(idx + 1)]:
+                x = blk(x)
+            feats.append(x)
+        p3, p4, p5 = feats
+        l5 = m["7"](p5)
+        up = F.interpolate(l5, scale_factor=2, mode="nearest")
+        t4 = m["10"](torch.cat([up, p4], 1))
+        l4 = m["11"](t4)
+        up = F.interpolate(l4, scale_factor=2, mode="nearest")
+        n3 = m["14"](torch.cat([up, p3], 1))
+        n4 = m["17"](torch.cat([m["15"](n3), l4], 1))
+        n5 = m["20"](torch.cat([m["18"](n4), l5], 1))
+        return m["21"]((n3, n4, n5))
