@@ -87,7 +87,7 @@ class TestYoloV6Parity:
             )
         )
         assert out.shape == ref.shape
-        assert _rel_err(out, ref) < 1e-4
+        assert _rel_err(out, ref) < 5e-4
 
 
 class TestYoloV7Parity:
@@ -113,7 +113,7 @@ class TestYoloV7Parity:
             )
         )
         assert out.shape == ref.shape
-        assert _rel_err(out, ref) < 1e-4
+        assert _rel_err(out, ref) < 5e-4
 
 
 def _zylo_anchors(input_size: int, anchor_scale: float = 4.0) -> np.ndarray:
@@ -246,7 +246,7 @@ class TestYoloV8Parity:
             )
         )
         assert out.shape == ref.shape
-        assert _rel_err(out, ref) < 1e-4
+        assert _rel_err(out, ref) < 5e-4
 
 
 class TestYoloV5Parity:
@@ -276,7 +276,7 @@ class TestYoloV5Parity:
             )
         )
         assert out.shape == ref.shape
-        assert _rel_err(out, ref) < 1e-4
+        assert _rel_err(out, ref) < 5e-4
 
 
 class TestYoloV10Parity:
@@ -406,4 +406,4 @@ class TestYoloV5LiteParity:
             )
         )
         assert out.shape == ref.shape
-        assert _rel_err(out, ref) < 1e-4
+        assert _rel_err(out, ref) < 5e-4
