@@ -87,6 +87,7 @@ class MultiStreamADAS:
         self.dev_hw = self.host_downscale or self.frame_hw
         self._spec_holder = {}
         self._uploader = None
+        self._prep_pool = None
         h, w = self.frame_hw
         self.streams = [
             StreamState((w, h), yolo.colors_dict) for _ in range(n_streams)
@@ -208,17 +209,32 @@ class MultiStreamADAS:
     # ---- host orchestration ----
 
     def _host_prep(self, frames: np.ndarray) -> np.ndarray:
-        """CPU-side transport prep: optional downscale + I420 encode."""
-        if self.host_downscale and self.host_downscale != self.frame_hw:
-            import cv2
+        """CPU-side transport prep: optional downscale + I420 encode.
 
-            dh, dw = self.host_downscale
-            frames = np.stack([
-                cv2.resize(f, (dw, dh), interpolation=cv2.INTER_LINEAR)
-                for f in frames
-            ])
-        if self.transport == "i420":
-            frames = np.stack([bgr_to_i420(f) for f in frames])
+        Per-frame cv2 work fans out over a small thread pool (cv2
+        releases the GIL), shortening the uploader thread's cycle —
+        prep is otherwise ~10-20 ms serial inside it."""
+        def prep_one(f):
+            if self.host_downscale and self.host_downscale != self.frame_hw:
+                import cv2
+
+                dh, dw = self.host_downscale
+                f = cv2.resize(f, (dw, dh), interpolation=cv2.INTER_LINEAR)
+            if self.transport == "i420":
+                f = bgr_to_i420(f)
+            return f
+
+        if (
+            self.transport == "i420"
+            or (self.host_downscale and self.host_downscale != self.frame_hw)
+        ):
+            if self._prep_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._prep_pool = ThreadPoolExecutor(
+                    max_workers=4, thread_name_prefix="adas-prep"
+                )
+            return np.stack(list(self._prep_pool.map(prep_one, frames)))
         return frames
 
     def _prep_upload(self, frames: np.ndarray):
