@@ -341,6 +341,15 @@ class ConvBN(nn.Module):
             and x.shape[2] % 2 == 0
             and self.padding is None
         )
+        from ..ops.preprocess import S2DInput
+
+        if isinstance(x, S2DInput) and not polyphase_ok:
+            raise ValueError(
+                "S2DInput fed to a non-polyphase conv "
+                f"(kernel={self.kernel}, strides={self.strides}) — only "
+                "odd-kernel stride-2 stems consume pre-space-to-depth "
+                "input (ops/preprocess s2d=True)"
+            )
         if polyphase_ok:
             x = PolyphaseStemConv(
                 self.features, self.kernel,
@@ -384,14 +393,23 @@ def polyphase_stride2_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     on the stem convs (measured on the ResNet 7x7 and YOLO 3x3 stems).
     Requires odd k, stride 2, even H/W, no groups/dilation.
     """
+    from ..ops.preprocess import S2DInput
+
     kh, kw, c, f = kernel.shape
     n, h, w, _ = x.shape
     assert kh % 2 == 1 and kw % 2 == 1 and h % 2 == 0 and w % 2 == 0
-    xs = (
-        x.reshape(n, h // 2, 2, w // 2, 2, c)
-        .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(n, h // 2, w // 2, 4 * c)
-    )
+    if isinstance(x, S2DInput):
+        # preprocessing already emitted the polyphase layout — the
+        # space-to-depth transpose below (a real HBM pass, ~0.6-0.8 ms
+        # per 8-frame step measured) is skipped entirely
+        xs = x.data
+        assert xs.shape == (n, h // 2, w // 2, 4 * c), xs.shape
+    else:
+        xs = (
+            x.reshape(n, h // 2, 2, w // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, h // 2, w // 2, 4 * c)
+        )
     # tap alignment: output tap u = 2i + p - k//2 lands on phase r when
     # p ≡ k//2 + r (mod 2); shift the kernel by δ = (k//2) & 1 so taps
     # split evenly into 2-phase groups of na = (k+δ+1)//2
@@ -435,12 +453,15 @@ class PolyphaseStemConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.preprocess import S2DInput
+
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
             (*self.kernel_size, x.shape[-1], self.features),
         )
-        args = [x, kernel]
+        data = x.data if isinstance(x, S2DInput) else x
+        args = [data, kernel]
         bias = None
         if self.use_bias:
             bias = self.param(
@@ -448,8 +469,9 @@ class PolyphaseStemConv(nn.Module):
             )
             args.append(bias)
         promoted = nn.dtypes.promote_dtype(*args, dtype=self.dtype)
-        x, kernel = promoted[0], promoted[1]
-        y = polyphase_stride2_conv(x, kernel)
+        data, kernel = promoted[0], promoted[1]
+        xin = S2DInput(data, x.shape) if isinstance(x, S2DInput) else data
+        y = polyphase_stride2_conv(xin, kernel)
         if self.use_bias:
             y = y + promoted[2]
         return y

@@ -78,6 +78,8 @@ class StemConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.preprocess import S2DInput
+
         c = x.shape[-1]
         kernel = self.param(
             "kernel",
@@ -88,15 +90,18 @@ class StemConv(nn.Module):
         dtype = self.dtype
         if _layers._QUANT_MODE in _layers.INT8_MODES:
             dtype = jnp.bfloat16
-        x = x.astype(dtype)
         kernel = kernel.astype(dtype)
-        if h % 2 or w % 2:  # odd inputs: fall back to the direct conv
-            return jax.lax.conv_general_dilated(
-                x, kernel, (2, 2), ((3, 3), (3, 3)),
-                dimension_numbers=jax.lax.conv_dimension_numbers(
-                    x.shape, kernel.shape, _NHWC
-                ),
-            )
+        if isinstance(x, S2DInput):
+            x = S2DInput(x.data.astype(dtype), x.shape)
+        else:
+            x = x.astype(dtype)
+            if h % 2 or w % 2:  # odd inputs: fall back to the direct conv
+                return jax.lax.conv_general_dilated(
+                    x, kernel, (2, 2), ((3, 3), (3, 3)),
+                    dimension_numbers=jax.lax.conv_dimension_numbers(
+                        x.shape, kernel.shape, _NHWC
+                    ),
+                )
         from .layers import polyphase_stride2_conv
 
         return polyphase_stride2_conv(x, kernel)

@@ -147,6 +147,13 @@ class UFLDv2Net(nn.Module):
     dtype: object = jnp.float32
     use_aux: bool = False
 
+    @property
+    def stem_s2d_ok(self) -> bool:
+        """ResNet's 7x7/2 stem is polyphase-evaluated (resnet.StemConv),
+        so it consumes pre-space-to-depth input (ops/preprocess
+        S2DInput) from the planar serving path."""
+        return True
+
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, train: bool = False, tta: bool = False

@@ -503,6 +503,14 @@ class YoloV8(nn.Module):
 
     spec: YoloSpec
 
+    @property
+    def stem_s2d_ok(self) -> bool:
+        """The 3x3/2 stem (non-v5 families) is polyphase-evaluated, so
+        it can consume pre-space-to-depth input from the planar
+        preprocessing path (ops/preprocess S2DInput); v5's 6x6 even
+        stem cannot."""
+        return self.spec.family != "v5"
+
     @nn.compact
     def __call__(self, x, train=False):
         feats = YoloBackboneNeck(self.spec, name="net")(x, train)

@@ -22,8 +22,11 @@ from ..ops.preprocess import (
     LetterboxGeometry,
     bgr_to_i420,
     i420_to_bgr,
+    i420_to_bgr_planar,
     ufld_v2_preprocess,
+    ufld_v2_preprocess_planar,
     yolo_preprocess,
+    yolo_preprocess_planar,
 )
 from ..ops.ufld_decode import ufld_v2_decode
 from ..ops.yolo_decode import (
@@ -79,14 +82,31 @@ class FusedADASStep:
             if getattr(yolo, "compute_dtype", None) == "bf16"
             else jnp.float32
         )
+        # planar + pre-space-to-depth serving path (see multistream.py:
+        # the I420 buffer is already channel-major; keeping planes and
+        # emitting the stems' polyphase layout skips two HBM passes)
+        s2d_y = (
+            transport == "i420"
+            and getattr(ynet, "stem_s2d_ok", False)
+            and h % 2 == 0 and w % 2 == 0
+        )
+        s2d_l = (
+            transport == "i420"
+            and getattr(lnet, "stem_s2d_ok", False)
+            and lspec.input_height % 2 == 0
+            and lspec.input_width % 2 == 0
+        )
 
         @jax.jit
         def step(yolo_vars, lane_vars, frame_in):
             if transport == "i420":
-                frame_bgr = i420_to_bgr(frame_in, src_h, src_w)
+                bgr_p = i420_to_bgr_planar(frame_in, src_h, src_w)
+                x = yolo_preprocess_planar(
+                    bgr_p[None], geom, dtype=in_dtype, s2d=s2d_y
+                )
             else:
                 frame_bgr = frame_in
-            x = yolo_preprocess(frame_bgr[None], geom, dtype=in_dtype)
+                x = yolo_preprocess(frame_bgr[None], geom, dtype=in_dtype)
             raw = ynet.apply(yolo_vars, x)[0].astype(jnp.float32)
             boxes, scores, ids = decode_predictions(
                 raw, model_type, yspec.num_classes, yspec.input_size
@@ -97,10 +117,16 @@ class FusedADASStep:
             )
             dets = detections_to_original(dets, geom)
 
-            lx = ufld_v2_preprocess(
-                frame_bgr[None], lspec.input_height, lspec.input_width,
-                lspec.crop_ratio, dtype=lnet.dtype,
-            )
+            if transport == "i420":
+                lx = ufld_v2_preprocess_planar(
+                    bgr_p[None], lspec.input_height, lspec.input_width,
+                    lspec.crop_ratio, dtype=lnet.dtype, s2d=s2d_l,
+                )
+            else:
+                lx = ufld_v2_preprocess(
+                    frame_bgr[None], lspec.input_height, lspec.input_width,
+                    lspec.crop_ratio, dtype=lnet.dtype,
+                )
             louts = lnet.apply(lane_vars, lx)
             louts = {k: v.astype(jnp.float32) for k, v in louts.items()}
             lanes = ufld_v2_decode(louts)

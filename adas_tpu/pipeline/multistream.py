@@ -27,8 +27,11 @@ from ..ops.preprocess import (
     LetterboxGeometry,
     bgr_to_i420,
     i420_to_bgr,
+    i420_to_bgr_planar,
     ufld_v2_preprocess,
+    ufld_v2_preprocess_planar,
     yolo_preprocess,
+    yolo_preprocess_planar,
 )
 from ..ops.ufld_decode import ufld_v2_decode
 from ..ops.yolo_decode import (
@@ -108,8 +111,35 @@ class MultiStreamADAS:
         transport = self.transport
         spec_holder = self._spec_holder
         compute_dtype = getattr(yolo, "compute_dtype", None)
+        # int8 mode ALSO takes bf16 input: the stem is bf16 by the
+        # precision policy (int8_conv_eligible), so casting at the
+        # preprocess epilogue is the same math as the in-stem promote
+        # while halving the model-input tensor's HBM traffic (measured
+        # ~1.0 ms/8-frame step of convert_element_type passes)
         in_dtype = (
-            jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32
+            jnp.bfloat16
+            if compute_dtype in ("bf16", "int8")
+            else jnp.float32
+        )
+        lane_dtype = (
+            jnp.bfloat16
+            if getattr(lane, "_quant", None) == "int8"
+            else lnet.dtype
+        )
+        # pre-space-to-depth stem input: the phase-split resize dots
+        # emit the stem's polyphase layout directly (ops/preprocess),
+        # when the net declares support and target dims are even
+        s2d_y = (
+            self.transport == "i420"
+            and getattr(ynet, "stem_s2d_ok", False)
+            and h % 2 == 0
+            and w % 2 == 0
+        )
+        s2d_l = (
+            self.transport == "i420"
+            and getattr(lnet, "stem_s2d_ok", False)
+            and lspec.input_height % 2 == 0
+            and lspec.input_width % 2 == 0
         )
 
         device_kf = self.device_kf
@@ -128,10 +158,18 @@ class MultiStreamADAS:
                 else contextlib.nullcontext()
             )
             if transport == "i420":
-                frame_bgr = i420_to_bgr(frame_in, src_h, src_w)
+                # planar serving path: the I420 buffer is already
+                # channel-major, so color-convert/resize/normalize keep
+                # W in the 128-lane minor dim (channel-minor (H, W, 3)
+                # wastes ~97% of every VPU lane) and transpose to NHWC
+                # once, on the model-input-sized tensor (ops/preprocess)
+                bgr_p = i420_to_bgr_planar(frame_in, src_h, src_w)
+                x = yolo_preprocess_planar(
+                    bgr_p[None], geom, dtype=in_dtype, s2d=s2d_y
+                )
             else:
                 frame_bgr = frame_in
-            x = yolo_preprocess(frame_bgr[None], geom, dtype=in_dtype)
+                x = yolo_preprocess(frame_bgr[None], geom, dtype=in_dtype)
             if nms_free:
                 with quant:
                     dets = ynet.apply(yolo_vars, x, method=ynet.one2one)[0]
@@ -149,10 +187,16 @@ class MultiStreamADAS:
                     iou_threshold=iou, max_det=max_det,
                 )
             dets = detections_to_original(dets, geom)
-            lx = ufld_v2_preprocess(
-                frame_bgr[None], lspec.input_height, lspec.input_width,
-                lspec.crop_ratio, dtype=lnet.dtype,
-            )
+            if transport == "i420":
+                lx = ufld_v2_preprocess_planar(
+                    bgr_p[None], lspec.input_height, lspec.input_width,
+                    lspec.crop_ratio, dtype=lane_dtype, s2d=s2d_l,
+                )
+            else:
+                lx = ufld_v2_preprocess(
+                    frame_bgr[None], lspec.input_height, lspec.input_width,
+                    lspec.crop_ratio, dtype=lnet.dtype,
+                )
             lane_quant = (
                 quantized("int8")
                 if getattr(lane, "_quant", None) == "int8"
