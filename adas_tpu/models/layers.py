@@ -138,7 +138,7 @@ def int8_weight_qparams(
     if kernel.dtype == jnp.int8:
         return kernel, mod.get_variable("wscales", "wscale")
     k = jnp.asarray(kernel, jnp.float32)
-    wmax = jnp.max(jnp.abs(k), axis=(0, 1, 2))
+    wmax = jnp.max(jnp.abs(k), axis=tuple(range(k.ndim - 1)))
     wscale = jnp.maximum(wmax, 1e-8) / 127.0
     if _QUANT_MODE == "int8_pack":
         rec = mod.variable("wscales", "wscale", lambda: wscale)
@@ -270,6 +270,65 @@ def int8_conv_apply(
         # concat consumers read 2 bytes, not 4); epilogue math stays f32
         y = y.astype(jnp.bfloat16)
     return y
+
+
+class Int8Dense(nn.Module):
+    """Drop-in ``nn.Dense`` with W8A8 int8 MXU arithmetic and nn.Dense's
+    EXACT param layout (``kernel`` (in, features) + optional ``bias``),
+    so f32 checkpoints load unchanged.
+
+    Exists for the UFLD classifier heads (reference
+    TrafficLaneDetector/exportLib/ultrafastLaneV2/model_tusimple.py
+    ``cls`` MLP): ``cls_fc2`` for CULane is 2048×~60k — ~492 MB of f32
+    weights streamed from HBM every step, the single largest HBM reader
+    in the lane trunk's profile (495 µs measured).  int8 kernels cut the
+    bytes 4× and the dot runs s8×s8→s32 on the MXU; the reference's TRT
+    int8 engine quantizes these FCs the same way
+    (convertOnnxToTensorRT.py:28-99 builds the WHOLE network int8).
+    Shares Int8Conv's machinery: ``wscales`` packed at load by
+    ``tools.quantize.pack_int8_weights``, ``act_scales`` recorded by
+    ``calibrate_act_scales``."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+            jnp.float32,
+        )
+        xscale = int8_act_scale(self, x)
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+        wq, wscale = int8_weight_qparams(self, kernel)
+        xf = x.astype(jnp.float32)
+        if xscale is None:
+            xscale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+        xq = jnp.clip(jnp.round(xf / xscale), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, wq,
+            (((xq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = acc.astype(jnp.float32) * (wscale.reshape(-1) * xscale)
+        if bias is not None:
+            y = y + bias
+        return y
+
+
+def head_dense(features: int, name: str, dtype=None, use_bias: bool = True):
+    """``nn.Dense`` or :class:`Int8Dense` by the trace-time quant mode —
+    identical param tree either way (Int8Dense mirrors nn.Dense's
+    layout), so the same variables serve both precisions."""
+    if _QUANT_MODE in INT8_MODES:
+        return Int8Dense(features, use_bias=use_bias, name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
 
 
 class ConvBN(nn.Module):

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.types import LaneModelType
+from .layers import head_dense
 from .resnet import ResNetFeatures
 
 
@@ -185,9 +186,12 @@ class UFLDv2Net(nn.Module):
         fea = fea.transpose(0, 3, 1, 2).reshape(b, -1)
         if s.fc_norm:
             fea = nn.LayerNorm(dtype=self.dtype, name="cls_norm")(fea)
-        h = nn.Dense(s.mlp_mid, dtype=self.dtype, name="cls_fc1")(fea)
+        # head_dense: these FCs are the trunk's biggest HBM readers
+        # (cls_fc2 CULane streams ~492 MB f32 weights/step) — under
+        # quantized("int8") they serve as W8A8 Int8Dense, same params
+        h = head_dense(s.mlp_mid, "cls_fc1", dtype=self.dtype)(fea)
         h = nn.relu(h)
-        out = nn.Dense(sum(s.dims), dtype=self.dtype, name="cls_fc2")(h)
+        out = head_dense(sum(s.dims), "cls_fc2", dtype=self.dtype)(h)
 
         d1, d2, d3, d4 = s.dims
         loc_row = out[:, :d1].reshape(b, s.num_cell_row, s.num_row, s.num_lanes)
@@ -255,17 +259,17 @@ class UFLDv2CurveLanesNet(nn.Module):
         flat = fea9.reshape(b * 20, 9 * hh * ww)
         flat = nn.LayerNorm(dtype=self.dtype, name="cls_norm")(flat)
         h1 = nn.relu(
-            nn.Dense(s.mlp_mid, dtype=self.dtype, name="cls_fc1")(flat)
+            head_dense(s.mlp_mid, "cls_fc1", dtype=self.dtype)(flat)
         )
         out = h1.reshape(b, 20, s.mlp_mid)
 
         d1 = s.num_cell_row * s.num_row
         d3 = s.num_cell_col * s.num_col
-        out_row = nn.Dense(
-            d1 + 2 * s.num_row, dtype=self.dtype, name="cls_row"
+        out_row = head_dense(
+            d1 + 2 * s.num_row, "cls_row", dtype=self.dtype
         )(out[:, :10]).transpose(0, 2, 1)
-        out_col = nn.Dense(
-            d3 + 2 * s.num_col, dtype=self.dtype, name="cls_col"
+        out_col = head_dense(
+            d3 + 2 * s.num_col, "cls_col", dtype=self.dtype
         )(out[:, 10:]).transpose(0, 2, 1)
         return {
             "loc_row": out_row[:, :d1].reshape(
@@ -330,12 +334,12 @@ class UFLDv1Net(nn.Module):
         )
         b = fea.shape[0]
         fea = fea.transpose(0, 3, 1, 2).reshape(b, -1)  # 8*(h/32)*(w/32)=1800
-        h = nn.Dense(s.mlp_mid, dtype=self.dtype, name="cls_fc1")(fea)
+        h = head_dense(s.mlp_mid, "cls_fc1", dtype=self.dtype)(fea)
         h = nn.relu(h)
-        out = nn.Dense(
+        out = head_dense(
             (s.griding_num + 1) * s.cls_num_per_lane * s.num_lanes,
+            "cls_fc2",
             dtype=self.dtype,
-            name="cls_fc2",
         )(h)
         return out.reshape(
             b, s.griding_num + 1, s.cls_num_per_lane, s.num_lanes

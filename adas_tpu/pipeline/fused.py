@@ -77,10 +77,19 @@ class FusedADASStep:
         transport = self.transport
         src_h, src_w = src_shape
 
+        # int8 also takes bf16 input: the stems serve bf16 under the
+        # precision policy (int8_conv_eligible), so casting at the
+        # preprocess epilogue is the same math while halving the
+        # model-input tensor's HBM traffic (see multistream.py)
         in_dtype = (
             jnp.bfloat16
-            if getattr(yolo, "compute_dtype", None) == "bf16"
+            if getattr(yolo, "compute_dtype", None) in ("bf16", "int8")
             else jnp.float32
+        )
+        lane_dtype = (
+            jnp.bfloat16
+            if getattr(lane, "_quant", None) == "int8"
+            else lnet.dtype
         )
         # planar + pre-space-to-depth serving path (see multistream.py:
         # the I420 buffer is already channel-major; keeping planes and
@@ -97,8 +106,15 @@ class FusedADASStep:
             and lspec.input_width % 2 == 0
         )
 
+        yolo_quant = getattr(yolo, "compute_dtype", None) == "int8"
+        lane_quant = getattr(lane, "_quant", None) == "int8"
+
         @jax.jit
         def step(yolo_vars, lane_vars, frame_in):
+            import contextlib
+
+            from ..models.layers import quantized
+
             if transport == "i420":
                 bgr_p = i420_to_bgr_planar(frame_in, src_h, src_w)
                 x = yolo_preprocess_planar(
@@ -107,7 +123,12 @@ class FusedADASStep:
             else:
                 frame_bgr = frame_in
                 x = yolo_preprocess(frame_bgr[None], geom, dtype=in_dtype)
-            raw = ynet.apply(yolo_vars, x)[0].astype(jnp.float32)
+            # trace-time int8 lowering, like the facades' own DetectFrame
+            # and multistream: packed int8 kernels MUST go through the
+            # Int8Conv/Int8Dense path (promoting them as plain params
+            # would misread the quantized integers as weights)
+            with quantized("int8") if yolo_quant else contextlib.nullcontext():
+                raw = ynet.apply(yolo_vars, x)[0].astype(jnp.float32)
             boxes, scores, ids = decode_predictions(
                 raw, model_type, yspec.num_classes, yspec.input_size
             )
@@ -120,14 +141,15 @@ class FusedADASStep:
             if transport == "i420":
                 lx = ufld_v2_preprocess_planar(
                     bgr_p[None], lspec.input_height, lspec.input_width,
-                    lspec.crop_ratio, dtype=lnet.dtype, s2d=s2d_l,
+                    lspec.crop_ratio, dtype=lane_dtype, s2d=s2d_l,
                 )
             else:
                 lx = ufld_v2_preprocess(
                     frame_bgr[None], lspec.input_height, lspec.input_width,
                     lspec.crop_ratio, dtype=lnet.dtype,
                 )
-            louts = lnet.apply(lane_vars, lx)
+            with quantized("int8") if lane_quant else contextlib.nullcontext():
+                louts = lnet.apply(lane_vars, lx)
             louts = {k: v.astype(jnp.float32) for k, v in louts.items()}
             lanes = ufld_v2_decode(louts)
             # one packed vector -> one device→host transfer at fetch time

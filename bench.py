@@ -52,9 +52,12 @@ BASELINE_FPS = 300.0
 
 #: adaptive host downscale ladder (I420 transport, bytes/frame =
 #: h*w*1.5): picked by the measured tunnel bandwidth so upload never
-#: dominates the tick.  The floor keeps ~(64%, 64%) of 720p linear res.
+#: dominates the tick.  The deep entries exist for degraded tunnels
+#: (sustained rates down to ~3 MB/s observed): a slow link costs
+#: resolution, never throughput collapse.
 _DOWNSCALE_LADDER = [
     (360, 640), (324, 576), (288, 512), (252, 448), (216, 384),
+    (180, 320), (144, 256),
 ]
 
 
@@ -95,22 +98,58 @@ def probe_bandwidth_mbps(size_mb: float = 2.0, reps: int = 3) -> float:
     return size_mb / max(big - floor, 1e-3)
 
 
-def choose_transport(bw_mbps: float, n_streams: int):
+def probe_sustained_mbps(tick_mb: float, reps: int = 6) -> float:
+    """Back-to-back sustained host->device rate (MB/s) at the actual
+    per-tick transfer size.  The single-buffer burst probe overstates
+    what the tunnel delivers tick after tick by up to ~5x (observed
+    35 MB/s burst vs ~7 MB/s sustained in the same minute); planning
+    the transport from the burst number is exactly how round 2 lost
+    its e2e to the transport.  Distinct random buffers (put caching,
+    compressing transports), forced use per put; the per-put dispatch
+    floor is left IN, which under-reports slightly — conservative is
+    the right direction for a planner."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    n = max(int(tick_mb * 1e6), 1)
+    bufs = [
+        rng.integers(0, 255, (n,), dtype=np.uint8) for _ in range(reps + 1)
+    ]
+    float(jnp.asarray(bufs[0]).sum())  # warm the shape
+    t0 = time.perf_counter()
+    for b in bufs[1:]:
+        float(jnp.asarray(b).sum())
+    return reps * tick_mb / max(time.perf_counter() - t0, 1e-6)
+
+
+def choose_transport(bw_mbps: float, n_streams: int, factor: float = 0.6):
     """(host_downscale, depth): largest ladder entry whose per-tick
-    upload fits a ~110 ms budget at the measured bandwidth, depth sized
-    so uploads stay ahead of fetch+analytics.  A persistently slow
-    tunnel costs resolution, never throughput collapse (the round-2
-    regression this adaptivity exists to prevent)."""
+    upload fits a ~110 ms budget at ``factor`` x the measured bandwidth,
+    depth sized so uploads stay ahead of fetch+analytics.  A
+    persistently slow tunnel costs resolution, never throughput
+    collapse (the round-2 regression this adaptivity exists to
+    prevent).  ``factor``: 0.6 against a burst probe, 0.85 against a
+    measured sustained rate."""
     budget_s = 0.110
-    # plan at 0.6x the probed burst rate: tunnel sustained throughput
-    # runs well below a single-buffer burst (observed 20 MB/s probe,
-    # ~3 MB/s sustained in a degraded window)
-    plan_bw = 0.6 * bw_mbps
+    plan_bw = factor * bw_mbps
     for hw in _DOWNSCALE_LADDER:
         mb = hw[0] * hw[1] * 1.5 * n_streams / 1e6
         if mb / max(plan_bw, 1e-6) <= budget_s:
             return hw, 3
     return _DOWNSCALE_LADDER[-1], 4
+
+
+def plan_transport(n_streams: int):
+    """Two-stage transport plan: burst probe picks a candidate tick
+    size, a sustained probe AT that size (the quantity that actually
+    bounds pipelined throughput) makes the final pick.  Returns
+    (downscale, depth, burst_mbps, sustained_mbps)."""
+    burst = probe_bandwidth_mbps()
+    hw, depth = choose_transport(burst, n_streams)
+    tick_mb = hw[0] * hw[1] * 1.5 * n_streams / 1e6
+    sustained = probe_sustained_mbps(tick_mb)
+    hw, depth = choose_transport(sustained, n_streams, factor=0.85)
+    return hw, depth, burst, sustained
 
 
 def _pipelined_fps(ms, batches, depth: int) -> float:
@@ -340,9 +379,7 @@ def _config5(rng) -> dict:
         # serves fully int8
         dtype="int8",
     )
-    downscale, depth = choose_transport(
-        probe_bandwidth_mbps(), N_STREAMS
-    )
+    downscale, depth, _, _ = plan_transport(N_STREAMS)
     import cv2
 
     dh, dw = downscale
@@ -401,12 +438,15 @@ def main() -> None:
 
     # adapt the transport to the measured link BEFORE building the
     # pipeline: a slow tunnel costs resolution, not throughput
-    bw = probe_bandwidth_mbps()
     if DOWNSCALE == "auto":
-        downscale, depth = choose_transport(bw, N_STREAMS)
+        downscale, depth, bw, sustained = plan_transport(N_STREAMS)
     else:
         h, w = DOWNSCALE.split("x")
         downscale, depth = (int(h), int(w)), 3
+        bw = probe_bandwidth_mbps()
+        sustained = probe_sustained_mbps(
+            downscale[0] * downscale[1] * 1.5 * N_STREAMS / 1e6
+        )
     if DEPTH:
         depth = DEPTH
 
@@ -434,14 +474,36 @@ def main() -> None:
         ]
         yolo.calibrate_int8(calib)
         lane.calibrate_int8(calib)
-    ms = MultiStreamADAS(
-        yolo, lane, N_STREAMS, frame_hw=(720, 1280),
-        host_downscale=downscale, transport="i420",
-    )
+    def build_warm(ds):
+        m = MultiStreamADAS(
+            yolo, lane, N_STREAMS, frame_hw=(720, 1280),
+            host_downscale=ds, transport="i420",
+        )
+        for b in batches:  # compile + settle the transport path
+            m.process_batch(b)
+        return m
 
-    # Warmup: compile + settle the transport path.
-    for b in batches:
-        ms.process_batch(b)
+    ms = build_warm(downscale)
+    stages = _staged(ms, batches)
+    # the sustained probe ran before any compile; if the realized
+    # per-tick upload still blows the ~110 ms budget (tunnel drifted),
+    # drop one ladder rung and keep the better measurement — a slow
+    # link costs resolution, never throughput collapse
+    stepped_down = False
+    if DOWNSCALE == "auto":
+        idx = (
+            _DOWNSCALE_LADDER.index(downscale)
+            if downscale in _DOWNSCALE_LADDER
+            else -1
+        )
+        if (
+            stages["upload"]["p50"] > 1.3 * 110.0
+            and 0 <= idx < len(_DOWNSCALE_LADDER) - 1
+        ):
+            downscale = _DOWNSCALE_LADDER[idx + 1]
+            stepped_down = True
+            ms = build_warm(downscale)
+            stages = _staged(ms, batches)
 
     record = {
         "metric": "e2e_fps",
@@ -451,9 +513,14 @@ def main() -> None:
         "streams": N_STREAMS,
         "dtype": DTYPE,
         "tunnel_mbps": round(bw, 1),
-        "transport": {"downscale": list(downscale), "depth": depth},
+        "tunnel_sustained_mbps": round(sustained, 1),
+        "transport": {
+            "downscale": list(downscale),
+            "depth": depth,
+            "stepped_down": stepped_down,
+        },
         "compute_fps": round(_compute_fps(ms, batches), 2),
-        "stages_ms": _staged(ms, batches),
+        "stages_ms": stages,
     }
     fps = _pipelined_fps(ms, batches, depth)
     record["value"] = round(fps, 2)
