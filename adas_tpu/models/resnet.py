@@ -185,10 +185,21 @@ class ResNetFeatures(nn.Module):
         self, x: jnp.ndarray, train: bool = False
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         block, stages = _CONFIGS[self.depth]
+        # under int8 the net's declared dtype stays f32 (convs lower to
+        # Int8Conv at trace time), but this stem BN is the one UNfolded
+        # normalization left — running it f32 forced the 160x800x64
+        # stem/pool/residual chain to f32 (2x the HBM bytes of the
+        # policy's bf16; measured ~0.9 ms/8-frame step).  bf16 here
+        # matches the precision every ConvBN already serves under int8.
+        bn_dtype = (
+            jnp.bfloat16
+            if _layers._QUANT_MODE in _layers.INT8_MODES
+            else self.dtype
+        )
         x = StemConv(64, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name="bn1",
+            dtype=bn_dtype, name="bn1",
         )(x)
         x = nn.relu(x)
         x = max_pool(x, 3, 2, pad=1)
