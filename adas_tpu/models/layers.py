@@ -331,6 +331,23 @@ def head_dense(features: int, name: str, dtype=None, use_bias: bool = True):
     return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
 
 
+class _StemKernelParam(nn.Module):
+    """Kernel param holder with PolyphaseStemConv/nn.Conv's exact tree
+    (``kernel`` HWIO, no bias) — lets the Pallas fused-stem path own the
+    same checkpoint parameters as the plain ConvBN conv."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, cin: int) -> jnp.ndarray:
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kernel_size, cin, self.features),
+        )
+
+
 class ConvBN(nn.Module):
     """Conv2D + BatchNorm + activation, the universal CNN cell."""
 
@@ -400,14 +417,46 @@ class ConvBN(nn.Module):
             and x.shape[2] % 2 == 0
             and self.padding is None
         )
-        from ..ops.preprocess import S2DInput
+        from ..ops.preprocess import S2DInput, S2DPlanes
 
-        if isinstance(x, S2DInput) and not polyphase_ok:
+        if isinstance(x, (S2DInput, S2DPlanes)) and not polyphase_ok:
             raise ValueError(
-                "S2DInput fed to a non-polyphase conv "
+                "pre-space-to-depth input fed to a non-polyphase conv "
                 f"(kernel={self.kernel}, strides={self.strides}) — only "
-                "odd-kernel stride-2 stems consume pre-space-to-depth "
-                "input (ops/preprocess s2d=True)"
+                "odd-kernel stride-2 stems consume it "
+                "(ops/preprocess s2d/planes modes)"
+            )
+        if isinstance(x, S2DPlanes):
+            # Pallas fused stem (ops/pallas_stem.py): conv + folded BN +
+            # activation in one kernel on the planar polyphase input the
+            # resize dots emit; parameter tree identical to the plain
+            # path (conv/kernel + bn/{scale,bias,mean,var})
+            if not self.use_bn or self.use_bias or train:
+                raise ValueError(
+                    "S2DPlanes stem requires inference ConvBN with BN "
+                    "and no conv bias"
+                )
+            if self.act is nn.silu:
+                act_name = "silu"
+            elif self.act is nn.relu:
+                act_name = "relu"
+            elif self.act is None:
+                act_name = None
+            else:
+                raise ValueError("unsupported activation for fused stem")
+            from ..ops.pallas_stem import fused_stem
+
+            kernel = _StemKernelParam(
+                self.features, self.kernel, name="conv"
+            )(x.shape[-1])
+            gain, fbias = BNFoldParams(epsilon=1e-5, name="bn")(
+                self.features
+            )
+            pdtype = dtype or jnp.promote_types(x.dtype, kernel.dtype)
+            return fused_stem(
+                x.data.astype(pdtype), kernel.astype(pdtype), gain, fbias,
+                logical_hw=(x.shape[1], x.shape[2]), pool=False,
+                act=act_name, out_dtype=pdtype,
             )
         if polyphase_ok:
             x = PolyphaseStemConv(

@@ -184,25 +184,52 @@ class ResNetFeatures(nn.Module):
     def __call__(
         self, x: jnp.ndarray, train: bool = False
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        from ..ops.preprocess import S2DPlanes
+
         block, stages = _CONFIGS[self.depth]
-        # under int8 the net's declared dtype stays f32 (convs lower to
-        # Int8Conv at trace time), but this stem BN is the one UNfolded
-        # normalization left — running it f32 forced the 160x800x64
-        # stem/pool/residual chain to f32 (2x the HBM bytes of the
-        # policy's bf16; measured ~0.9 ms/8-frame step).  bf16 here
-        # matches the precision every ConvBN already serves under int8.
-        bn_dtype = (
-            jnp.bfloat16
-            if _layers._QUANT_MODE in _layers.INT8_MODES
-            else self.dtype
-        )
-        x = StemConv(64, dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=bn_dtype, name="bn1",
-        )(x)
-        x = nn.relu(x)
-        x = max_pool(x, 3, 2, pad=1)
+        if isinstance(x, S2DPlanes) and not train:
+            # Pallas fused stem (ops/pallas_stem.py): conv7x7/2 + folded
+            # bn1 + relu + maxpool3x3/2 in ONE kernel on the planar
+            # polyphase input the resize dots emit — the full-resolution
+            # stem activation (131 MB bf16 for CULane x8) never touches
+            # HBM.  Same parameter tree: conv1/kernel + bn1/{...}.
+            kernel = _layers._StemKernelParam(64, (7, 7), name="conv1")(
+                x.shape[-1]
+            )
+            gain, fbias = _layers.BNFoldParams(
+                epsilon=1e-5, name="bn1"
+            )(64)
+            pdtype = (
+                jnp.bfloat16
+                if _layers._QUANT_MODE in _layers.INT8_MODES
+                else self.dtype
+            )
+            from ..ops.pallas_stem import fused_stem
+
+            x = fused_stem(
+                x.data.astype(pdtype), kernel.astype(pdtype), gain,
+                fbias, logical_hw=(x.shape[1], x.shape[2]), pool=True,
+                act="relu", out_dtype=pdtype,
+            )
+        else:
+            # under int8 the net's declared dtype stays f32 (convs lower
+            # to Int8Conv at trace time), but this stem BN is the one
+            # UNfolded normalization left — running it f32 forced the
+            # 160x800x64 stem/pool/residual chain to f32 (2x the
+            # policy's bf16 HBM bytes; measured ~0.9 ms/8-frame step).
+            # bf16 matches the precision every ConvBN serves under int8.
+            bn_dtype = (
+                jnp.bfloat16
+                if _layers._QUANT_MODE in _layers.INT8_MODES
+                else self.dtype
+            )
+            x = StemConv(64, dtype=self.dtype, name="conv1")(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=bn_dtype, name="bn1",
+            )(x)
+            x = nn.relu(x)
+            x = max_pool(x, 3, 2, pad=1)
 
         feats = []
         for stage_idx, n_blocks in enumerate(stages):

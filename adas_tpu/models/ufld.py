@@ -155,6 +155,14 @@ class UFLDv2Net(nn.Module):
         S2DInput) from the planar serving path."""
         return True
 
+    @property
+    def stem_planes_margins(self):
+        """S2DPlanes margins for the Pallas fused ResNet stem chain
+        (conv7x7/2 + bn + relu + maxpool3x3/2 — pool fused)."""
+        from ..ops.pallas_stem import stem_margins
+
+        return stem_margins(7, 7, True)
+
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, train: bool = False, tta: bool = False

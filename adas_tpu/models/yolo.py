@@ -511,6 +511,17 @@ class YoloV8(nn.Module):
         stem cannot."""
         return self.spec.family != "v5"
 
+    @property
+    def stem_planes_margins(self):
+        """Halo margins for S2DPlanes input (the Pallas fused stem,
+        ops/pallas_stem.py); None = planes unsupported (v5's 6x6 even
+        stem)."""
+        if self.spec.family == "v5":
+            return None
+        from ..ops.pallas_stem import stem_margins
+
+        return stem_margins(3, 3, False)
+
     @nn.compact
     def __call__(self, x, train=False):
         feats = YoloBackboneNeck(self.spec, name="net")(x, train)
@@ -562,6 +573,19 @@ class YoloV10(nn.Module):
 
     spec: YoloSpec
     max_det: int = 300
+
+    @property
+    def stem_s2d_ok(self) -> bool:
+        """Same 3x3/2 polyphase stem as YoloV8."""
+        return True
+
+    @property
+    def stem_planes_margins(self):
+        """S2DPlanes margins (Pallas fused stem) — v10 shares the v8
+        backbone stem."""
+        from ..ops.pallas_stem import stem_margins
+
+        return stem_margins(3, 3, False)
 
     def setup(self):
         self.net = YoloBackboneNeck(self.spec)

@@ -378,6 +378,40 @@ class S2DInput:
         return len(self._shape)
 
 
+class S2DPlanes:
+    """Planar pre-space-to-depth stem input for the Pallas fused stem.
+
+    ``data`` holds (..., Hs+mh, 4C, Ws+mw): per-row channel-major
+    polyphase planes (channel order (r, t, c) — matching S2DInput's
+    layout and ``ops.pallas_stem.polyphase_w2t``) with zero halo margins
+    ``margins = ((top, bottom), (left, right))`` in s2d-cell coordinates
+    (``ops.pallas_stem.stem_margins``) folded into the resize matrices,
+    so neither the conv's zero padding nor the pool's edge column ever
+    costs a separate pad pass.  W stays the minor (128-lane) dimension —
+    the layout the phase-split resize dot naturally emits, so no
+    relayout copy either.  ``.shape`` reports the logical NHWC shape.
+    Only a Pallas-fused-stem-capable stem may consume it."""
+
+    __slots__ = ("data", "_shape", "margins")
+
+    def __init__(self, data: jnp.ndarray, logical_shape, margins):
+        self.data = data
+        self._shape = tuple(logical_shape)
+        self.margins = tuple(tuple(m) for m in margins)
+
+    @property
+    def shape(self):
+        return self._shape
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def ndim(self) -> int:
+        return len(self._shape)
+
+
 @functools.lru_cache(maxsize=64)
 def _phase_matrices(src: int, new: int, pad_before: int, total: int):
     """Phase-split interp matrix with the letterbox pad folded in.
@@ -527,3 +561,104 @@ def ufld_v2_preprocess_planar(
     std = jnp.asarray(IMAGENET_STD, jnp.float32)[:, None, None] * 255.0
     out = ((rgb - mean) / std).astype(dtype)
     return _planar_to_nhwc(out)
+
+
+# ---- planar S2D "planes" emission (Pallas fused-stem input) ---------------
+
+
+def _planes_pad_bias(mh, mw, value: float, margins, core_hw):
+    """Letterbox pad bias broadcastable to the planes einsum output
+    (..., i, r, t, c, j); margin cells stay 0 (conv zero padding)."""
+    if mh is None and mw is None:
+        return None
+    (mt, mb), (ml, mr) = margins
+    ci, cj = core_hw
+    if mh is not None:
+        mh = np.pad(mh, ((0, 0), (mt, mb)))
+    if mw is not None:
+        mw = np.pad(mw, ((0, 0), (ml, mr)))
+    one_h = mh.T[:, :, None, None, None] if mh is not None else 0.0
+    one_w = mw[None, None, :, None, :] if mw is not None else 0.0
+    mask = one_h + one_w - one_h * one_w
+    # confine the bias to the core: margin cells are the CONV's zero
+    # padding, not letterbox padding — they must stay exactly 0
+    core_i = np.pad(np.ones((ci,), np.float32), (mt, mb))
+    core_j = np.pad(np.ones((cj,), np.float32), (ml, mr))
+    mask = mask * core_i[:, None, None, None, None]
+    mask = mask * core_j[None, None, None, None, :]
+    return jnp.asarray(value * mask, jnp.float32)
+
+
+def _phase_resize_to_planes(
+    chw: jnp.ndarray,
+    ah: np.ndarray,
+    aw: np.ndarray,
+    pad_bias,
+    dtype,
+    margins,
+) -> S2DPlanes:
+    """Planar (..., C, Hsrc, Wsrc) -> S2DPlanes: the phase-split einsums
+    emit channel-major polyphase planes with W in the minor (lane) dim —
+    the dot's natural output layout, so no relayout — and the zero halo
+    margins are extra zero rows of the (numpy, cached) matrices."""
+    (mt, mb), (ml, mr) = margins
+    ah = np.pad(ah, ((0, 0), (mt, mb), (0, 0)))
+    aw = np.pad(aw, ((0, 0), (ml, mr), (0, 0)))
+    prec = _resize_precision()
+    tmp = jnp.einsum(
+        "ris,...csu->...criu", jnp.asarray(ah), chw,
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    out = jnp.einsum(
+        "tju,...criu->...irtcj", jnp.asarray(aw), tmp,
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    if pad_bias is not None:
+        out = out + pad_bias
+    lead = list(chw.shape[:-3])
+    i, j = ah.shape[1], aw.shape[1]
+    c = chw.shape[-3]
+    data = out.astype(dtype).reshape(*lead, i, 4 * c, j)
+    hs, ws = i - mt - mb, j - ml - mr
+    return S2DPlanes(data, (*lead, 2 * hs, 2 * ws, c), margins)
+
+
+def yolo_preprocess_planes(
+    bgr_chw: jnp.ndarray,
+    geom: LetterboxGeometry,
+    dtype=jnp.float32,
+    margins=((1, 0), (1, 0)),
+) -> S2DPlanes:
+    """:func:`yolo_preprocess` emitting S2DPlanes for the Pallas fused
+    stem (letterbox + 1/255 + swapRB; margins per
+    ``pallas_stem.stem_margins`` of the consuming stem)."""
+    newh, neww = geom.new_shape
+    padh, padw = geom.pad
+    rgb = bgr_chw[..., ::-1, :, :].astype(jnp.float32) * (1.0 / 255.0)
+    ah, mh = _phase_matrices(bgr_chw.shape[-2], newh, padh, geom.dst_h)
+    aw, mw = _phase_matrices(bgr_chw.shape[-1], neww, padw, geom.dst_w)
+    bias = _planes_pad_bias(
+        mh, mw, PAD_VALUE / 255.0, margins,
+        (geom.dst_h // 2, geom.dst_w // 2),
+    )
+    return _phase_resize_to_planes(rgb, ah, aw, bias, dtype, margins)
+
+
+def ufld_v2_preprocess_planes(
+    bgr_chw: jnp.ndarray,
+    input_h: int,
+    input_w: int,
+    crop_ratio: float,
+    dtype=jnp.float32,
+    margins=((3, 2), (3, 2)),
+) -> S2DPlanes:
+    """:func:`ufld_v2_preprocess` emitting S2DPlanes (bottom-crop folded
+    into the phase matrices; normalization on the source-side tensor)."""
+    resize_h = int(input_h / crop_ratio)
+    rgb = bgr_chw[..., ::-1, :, :].astype(jnp.float32)
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)[:, None, None] * 255.0
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)[:, None, None] * 255.0
+    rgb = (rgb - mean) / std
+    ah = _phase_crop_matrix(bgr_chw.shape[-2], resize_h, resize_h - input_h)
+    aw = _phase_crop_matrix(bgr_chw.shape[-1], input_w, 0)
+    return _phase_resize_to_planes(rgb, ah, aw, None, dtype, margins)

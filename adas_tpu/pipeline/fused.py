@@ -25,8 +25,10 @@ from ..ops.preprocess import (
     i420_to_bgr_planar,
     ufld_v2_preprocess,
     ufld_v2_preprocess_planar,
+    ufld_v2_preprocess_planes,
     yolo_preprocess,
     yolo_preprocess_planar,
+    yolo_preprocess_planes,
 )
 from ..ops.ufld_decode import ufld_v2_decode
 from ..ops.yolo_decode import (
@@ -105,6 +107,13 @@ class FusedADASStep:
             and lspec.input_height % 2 == 0
             and lspec.input_width % 2 == 0
         )
+        # Pallas fused stem input (see multistream.py)
+        planes_y = (
+            getattr(ynet, "stem_planes_margins", None) if s2d_y else None
+        )
+        planes_l = (
+            getattr(lnet, "stem_planes_margins", None) if s2d_l else None
+        )
 
         yolo_quant = getattr(yolo, "compute_dtype", None) == "int8"
         lane_quant = getattr(lane, "_quant", None) == "int8"
@@ -117,9 +126,15 @@ class FusedADASStep:
 
             if transport == "i420":
                 bgr_p = i420_to_bgr_planar(frame_in, src_h, src_w)
-                x = yolo_preprocess_planar(
-                    bgr_p[None], geom, dtype=in_dtype, s2d=s2d_y
-                )
+                if planes_y:
+                    x = yolo_preprocess_planes(
+                        bgr_p[None], geom, dtype=in_dtype,
+                        margins=planes_y,
+                    )
+                else:
+                    x = yolo_preprocess_planar(
+                        bgr_p[None], geom, dtype=in_dtype, s2d=s2d_y
+                    )
             else:
                 frame_bgr = frame_in
                 x = yolo_preprocess(frame_bgr[None], geom, dtype=in_dtype)
@@ -138,7 +153,12 @@ class FusedADASStep:
             )
             dets = detections_to_original(dets, geom)
 
-            if transport == "i420":
+            if transport == "i420" and planes_l:
+                lx = ufld_v2_preprocess_planes(
+                    bgr_p[None], lspec.input_height, lspec.input_width,
+                    lspec.crop_ratio, dtype=lane_dtype, margins=planes_l,
+                )
+            elif transport == "i420":
                 lx = ufld_v2_preprocess_planar(
                     bgr_p[None], lspec.input_height, lspec.input_width,
                     lspec.crop_ratio, dtype=lane_dtype, s2d=s2d_l,

@@ -30,8 +30,10 @@ from ..ops.preprocess import (
     i420_to_bgr_planar,
     ufld_v2_preprocess,
     ufld_v2_preprocess_planar,
+    ufld_v2_preprocess_planes,
     yolo_preprocess,
     yolo_preprocess_planar,
+    yolo_preprocess_planes,
 )
 from ..ops.ufld_decode import ufld_v2_decode
 from ..ops.yolo_decode import (
@@ -141,6 +143,15 @@ class MultiStreamADAS:
             and lspec.input_height % 2 == 0
             and lspec.input_width % 2 == 0
         )
+        # Pallas fused stem (ops/pallas_stem.py): nets that declare halo
+        # margins take S2DPlanes instead — conv+BN+act(+pool) run in one
+        # kernel and the full-res stem activation never touches HBM
+        planes_y = (
+            getattr(ynet, "stem_planes_margins", None) if s2d_y else None
+        )
+        planes_l = (
+            getattr(lnet, "stem_planes_margins", None) if s2d_l else None
+        )
 
         device_kf = self.device_kf
         # v10 one-to-one head: serve NMS-free (BASELINE config 5), same
@@ -164,9 +175,15 @@ class MultiStreamADAS:
                 # wastes ~97% of every VPU lane) and transpose to NHWC
                 # once, on the model-input-sized tensor (ops/preprocess)
                 bgr_p = i420_to_bgr_planar(frame_in, src_h, src_w)
-                x = yolo_preprocess_planar(
-                    bgr_p[None], geom, dtype=in_dtype, s2d=s2d_y
-                )
+                if planes_y:
+                    x = yolo_preprocess_planes(
+                        bgr_p[None], geom, dtype=in_dtype,
+                        margins=planes_y,
+                    )
+                else:
+                    x = yolo_preprocess_planar(
+                        bgr_p[None], geom, dtype=in_dtype, s2d=s2d_y
+                    )
             else:
                 frame_bgr = frame_in
                 x = yolo_preprocess(frame_bgr[None], geom, dtype=in_dtype)
@@ -187,7 +204,12 @@ class MultiStreamADAS:
                     iou_threshold=iou, max_det=max_det,
                 )
             dets = detections_to_original(dets, geom)
-            if transport == "i420":
+            if transport == "i420" and planes_l:
+                lx = ufld_v2_preprocess_planes(
+                    bgr_p[None], lspec.input_height, lspec.input_width,
+                    lspec.crop_ratio, dtype=lane_dtype, margins=planes_l,
+                )
+            elif transport == "i420":
                 lx = ufld_v2_preprocess_planar(
                     bgr_p[None], lspec.input_height, lspec.input_width,
                     lspec.crop_ratio, dtype=lane_dtype, s2d=s2d_l,

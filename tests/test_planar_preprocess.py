@@ -140,7 +140,7 @@ def test_s2d_rejected_by_non_polyphase_conv(frame):
     x = yolo_preprocess_planar(bgr_p[None], geom)
     xs = yolo_preprocess_planar(bgr_p[None], geom, s2d=True)
     variables = net.init(jax.random.PRNGKey(0), x)
-    with pytest.raises(ValueError, match="S2DInput"):
+    with pytest.raises(ValueError, match="pre-space-to-depth"):
         net.apply(variables, xs)
 
 
