@@ -115,43 +115,75 @@ def _stem_kernel(
     wl = ws + 2 if pool else ws
     wo = ws // 2 if pool else ws
 
+    rows_in = (2 * band + na) if pool else (band + na - 1)
+    stride = 2 * band if pool else band
+
     def kernel(x_hbm, w_ref, g_ref, b_ref, o_ref, xt, sem):
         n = pl.program_id(0)
         bi = pl.program_id(1)
-        rows_in = (2 * band + na) if pool else (band + na - 1)
-        row0 = bi * (2 * band if pool else band)
-        dma = pltpu.make_async_copy(
-            x_hbm.at[n, pl.ds(row0, rows_in), :, :], xt, sem
-        )
-        dma.start()
-        dma.wait()
-        g = g_ref[:]  # (feat, 1) f32
+        nbands = pl.num_programs(1)
+        total = pl.num_programs(0) * nbands
+
+        # double-buffered input DMA: slot ``step % 2`` holds this
+        # band's tile, the next band's copy is issued before compute
+        def issue(n_, b_, slot, do_wait):
+            dma = pltpu.make_async_copy(
+                x_hbm.at[n_, pl.ds(b_ * stride, rows_in), :, :],
+                xt.at[slot], sem.at[slot],
+            )
+            if do_wait:
+                dma.wait()
+            else:
+                dma.start()
+
+        step = n * nbands + bi
+        slot = jax.lax.rem(step, 2)
+
+        @pl.when(step == 0)
+        def _():
+            issue(n, bi, slot, False)
+
+        nxt = step + 1
+
+        @pl.when(nxt < total)
+        def _():
+            issue(
+                jax.lax.div(nxt, nbands), jax.lax.rem(nxt, nbands),
+                jax.lax.rem(nxt, 2), False,
+            )
+
+        issue(n, bi, slot, True)
+
+        g = g_ref[:]  # (1, feat) f32
         b = b_ref[:]
         if pool:
-            # conv col validity: lane l is conv col l-1; valid 0..ws-1
-            col = jax.lax.broadcasted_iota(jnp.int32, (1, wl), 1)
+            # conv row validity for the pool's pad row: sublane s is
+            # conv col s-1; valid conv cols 0..ws-1
+            col = jax.lax.broadcasted_iota(jnp.int32, (wl, 1), 0)
             col_ok = (col >= 1) & (col <= ws)
-            # stride-2 lane selection as a one-hot matmul (Mosaic has no
-            # strided lane slice); one nonzero per column -> exact in
-            # any precision
-            li = jax.lax.broadcasted_iota(jnp.int32, (ws, wo), 0)
-            ji = jax.lax.broadcasted_iota(jnp.int32, (ws, wo), 1)
+            # stride-2 pick as a one-hot matmul: Mosaic has no strided
+            # slice (sublane or lane); a single nonzero per row makes
+            # the selection exact in any precision
+            ji = jax.lax.broadcasted_iota(jnp.int32, (wo, ws), 0)
+            li = jax.lax.broadcasted_iota(jnp.int32, (wo, ws), 1)
             sel = (li == 2 * ji).astype(compute_dtype)
 
         def conv_row(cy):
-            """One conv row: for each W-tap b, the (na, 16, wl) slab of
-            the scratch collapses to the (na*16, wl) operand and one MXU
-            dot accumulates its contribution; then the folded affine +
-            activation."""
+            """One conv row in (pixels, feat) orientation: for each
+            W-tap b, the (na, 16, wl) slab of the scratch collapses to
+            the (na*16, wl) operand and one full-M MXU dot accumulates
+            its contribution; then the folded affine + activation.  The
+            orientation makes the output natively NHWC — no transposes
+            anywhere in or after the kernel."""
             acc = None
             for bb in range(nb):
-                a_mat = xt[cy : cy + na, :, bb : bb + wl].reshape(
+                a_mat = xt[slot, cy : cy + na, :, bb : bb + wl].reshape(
                     na * 16, wl
                 )
                 part = jax.lax.dot_general(
-                    w_ref[bb], a_mat, (((1,), (0,)), ((), ())),
+                    a_mat, w_ref[bb], (((0,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # (feat, wl)
+                )  # (wl, feat)
                 acc = part if acc is None else acc + part
             return act_f(acc * g + b)
 
@@ -166,17 +198,18 @@ def _stem_kernel(
                     row = jnp.where(ok & col_ok, row, 0.0)
                     parts.append(row)
                 rm = jnp.maximum(jnp.maximum(parts[0], parts[1]), parts[2])
-                # W pool: window-start max with contiguous slices, then
-                # the stride-2 pick via the one-hot dot
+                # W pool: window-start max with contiguous sublane
+                # slices, then the stride-2 pick as a strided sublane
+                # slice (W rides sublanes in this orientation)
                 m3 = jnp.maximum(
-                    jnp.maximum(rm[:, 0 : wl - 2], rm[:, 1 : wl - 1]),
-                    rm[:, 2:wl],
-                )  # (feat, ws): col l = max over conv cols l-1..l+1
+                    jnp.maximum(rm[0 : wl - 2], rm[1 : wl - 1]),
+                    rm[2:wl],
+                )  # (ws, feat): row s = max over conv cols s-1..s+1
                 out_row = jax.lax.dot_general(
-                    m3.astype(compute_dtype), sel,
+                    sel, m3.astype(compute_dtype),
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )
+                )  # (wo, feat)
             else:
                 out_row = conv_row(i)
             o_ref[0, i, :, :] = out_row.astype(out_dtype)
@@ -280,22 +313,22 @@ def _stem_call_impl(
     grid = (n, ho // band)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, ho, feat, wo), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((n, ho, wo, feat), out_dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, band, feat, wo),
+            (1, band, wo, feat),
             lambda i, j: (i, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((rows_in, 16, wp), planes.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, rows_in, 16, wp), planes.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(planes, w2t, gain, bias)
@@ -317,10 +350,11 @@ def fused_stem(
     ``planes_data``: (B, 4C, Hs+mh, Ws+mw) with the margins of
     :func:`stem_margins` for ``kernel_hwio``'s size and ``pool``.
     ``gain``/``bias``: folded per-channel affine (BNFoldParams; identity
-    for a bias-only conv).  Returns NHWC (B, Ho, Wo, F) — the kernel
-    emits (B, Ho, F, Wo) (per-row channel-major, the dot's natural
-    layout) and the last-two-dims transpose is left to XLA to schedule
-    against the consumer's preferred layout.
+    for a bias-only conv).  Returns NHWC (B, Ho, Wo, F) natively: the
+    kernel's dots run in (pixels, feat) orientation, so each output row
+    lands in the consumer's layout with no transpose in or after the
+    kernel (the earlier (B, Ho, F, Wo) orientation left ~1 ms of XLA
+    relayout/convert passes on the output side — profiled round 3).
     """
     kh, kw, cin, feat = kernel_hwio.shape
     h, w = logical_hw
@@ -335,11 +369,10 @@ def fused_stem(
         )
     compute_dtype = planes_data.dtype
     w2t = polyphase_w2t(kernel_hwio).astype(compute_dtype)
-    gain = jnp.asarray(gain, jnp.float32).reshape(feat, 1)
-    bias = jnp.asarray(bias, jnp.float32).reshape(feat, 1)
+    gain = jnp.asarray(gain, jnp.float32).reshape(1, feat)
+    bias = jnp.asarray(bias, jnp.float32).reshape(1, feat)
     interpret = jax.default_backend() != "tpu"
-    y = _fused_stem_call(
+    return _fused_stem_call(
         planes_data, w2t, gain, bias, hs, ws, na, nb, pool, act,
         out_dtype, interpret,
     )
-    return jnp.swapaxes(y, -2, -1)
