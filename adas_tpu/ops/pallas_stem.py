@@ -29,6 +29,8 @@ Falls back to interpreter mode off-TPU so tests run on CPU.
 from __future__ import annotations
 
 import functools
+import os
+import warnings
 from typing import Optional, Tuple
 
 import jax
@@ -334,6 +336,73 @@ def _stem_call_impl(
     )(planes, w2t, gain, bias)
 
 
+@functools.lru_cache(maxsize=64)
+def _stem_compile_ok(
+    planes_shape: Tuple[int, ...],
+    cdtype_str: str,
+    feat: int,
+    hs: int,
+    ws: int,
+    na: int,
+    nb: int,
+    pool: bool,
+    act: Optional[str],
+    odtype_str: str,
+) -> bool:
+    """Compile-probe the Pallas stem for one exact serving config on the
+    real TPU backend (AOT lower+compile, no execution, cached).  A
+    Mosaic lowering regression (op support, layout, VMEM) must degrade
+    serving to the XLA chain — never crash the pipeline build."""
+    try:
+        cdtype = jnp.dtype(cdtype_str)
+        odtype = jnp.dtype(odtype_str)
+        fn = _make_stem_fn(hs, ws, na, nb, pool, act, odtype, False)
+        fn.lower(
+            jax.ShapeDtypeStruct(planes_shape, cdtype),
+            jax.ShapeDtypeStruct((nb, feat, na * 16), cdtype),
+            jax.ShapeDtypeStruct((1, feat), jnp.float32),
+            jax.ShapeDtypeStruct((1, feat), jnp.float32),
+        ).compile()
+        return True
+    except Exception as e:  # pragma: no cover - backend-dependent
+        warnings.warn(
+            "Pallas fused stem failed to compile for "
+            f"planes{planes_shape} k_taps=({na},{nb}) pool={pool}; "
+            f"serving the XLA stem chain instead: {e}"
+        )
+        return False
+
+
+def _xla_stem_chain(
+    planes_data, kernel_hwio, gain, bias, *, logical_hw, pool, act,
+    out_dtype, margins,
+):
+    """The identical stem chain in plain XLA ops, consumed when the
+    Pallas kernel is unavailable (non-compiling config or
+    ``ADAS_DISABLE_PALLAS_STEM=1``): slice the zero halo off the planes,
+    transpose to the polyphase NHWC-cell layout, and run
+    ``polyphase_stride2_conv`` + folded affine + act (+ maxpool) — the
+    exact chain the kernel is parity-tested against
+    (tests/test_pallas_stem.py)."""
+    from ..models.layers import max_pool, polyphase_stride2_conv
+    from ..ops.preprocess import S2DInput
+
+    h, w = logical_hw
+    hs, ws = h // 2, w // 2
+    (mt, _mb), (ml, _mr) = margins
+    core = planes_data[:, mt : mt + hs, :, ml : ml + ws]
+    xs = core.transpose(0, 1, 3, 2)  # (n, hs, ws, 4c)
+    n = xs.shape[0]
+    x = S2DInput(xs, (n, h, w, kernel_hwio.shape[2]))
+    y = polyphase_stride2_conv(x, kernel_hwio)
+    y = y.astype(jnp.float32) * gain.reshape(-1) + bias.reshape(-1)
+    y = _act_fn(act)(y)
+    y = y.astype(out_dtype)
+    if pool:
+        y = max_pool(y, 3, 2, pad=1)
+    return y
+
+
 def fused_stem(
     planes_data: jnp.ndarray,
     kernel_hwio: jnp.ndarray,
@@ -368,10 +437,23 @@ def fused_stem(
             f"for k={kh}x{kw} pool={pool}"
         )
     compute_dtype = planes_data.dtype
-    w2t = polyphase_w2t(kernel_hwio).astype(compute_dtype)
     gain = jnp.asarray(gain, jnp.float32).reshape(1, feat)
     bias = jnp.asarray(bias, jnp.float32).reshape(1, feat)
     interpret = jax.default_backend() != "tpu"
+    use_kernel = os.environ.get("ADAS_DISABLE_PALLAS_STEM") != "1"
+    if use_kernel and not interpret:
+        use_kernel = _stem_compile_ok(
+            tuple(planes_data.shape), jnp.dtype(compute_dtype).name,
+            feat, hs, ws, na, nb, pool, act,
+            jnp.dtype(out_dtype).name,
+        )
+    if not use_kernel:
+        return _xla_stem_chain(
+            planes_data, kernel_hwio, gain, bias,
+            logical_hw=logical_hw, pool=pool, act=act,
+            out_dtype=out_dtype, margins=((mt, mb), (ml, mr)),
+        )
+    w2t = polyphase_w2t(kernel_hwio).astype(compute_dtype)
     return _fused_stem_call(
         planes_data, w2t, gain, bias, hs, ws, na, nb, pool, act,
         out_dtype, interpret,

@@ -68,6 +68,30 @@ def test_fused_stem_matches_xla_chain(kk, pool, act, hw):
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
 
 
+def test_fused_stem_xla_fallback_parity(monkeypatch):
+    """The XLA-chain fallback (taken when the Pallas kernel cannot
+    compile on the serving backend, or ADAS_DISABLE_PALLAS_STEM=1) must
+    produce the identical stem output."""
+    monkeypatch.setenv("ADAS_DISABLE_PALLAS_STEM", "1")
+    rng = np.random.default_rng(7)
+    for kk, pool, act, hw in [(7, True, "relu", (64, 160)),
+                              (3, False, "silu", (64, 96))]:
+        h, w = hw
+        x = rng.standard_normal((2, h, w, 3)).astype(np.float32)
+        k = (rng.standard_normal((kk, kk, 3, 64)) * 0.1).astype(np.float32)
+        gain = rng.standard_normal(64).astype(np.float32)
+        bias = rng.standard_normal(64).astype(np.float32)
+        ref = _ref_chain(x, k, gain, bias, act, pool)
+        planes = _planes_from_nhwc(x, stem_margins(kk, kk, pool))
+        got = np.asarray(
+            fused_stem(
+                planes.data, jnp.asarray(k), gain, bias, logical_hw=(h, w),
+                pool=pool, act=act, out_dtype=jnp.float32,
+            )
+        )
+        np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+
+
 def test_fused_stem_under_vmap():
     """The multistream step vmaps the per-frame computation over the
     stream batch — the kernel must batch correctly."""
