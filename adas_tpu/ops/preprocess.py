@@ -566,9 +566,11 @@ def ufld_v2_preprocess_planar(
 # ---- planar S2D "planes" emission (Pallas fused-stem input) ---------------
 
 
-def _planes_pad_bias(mh, mw, value: float, margins, core_hw):
+def _planes_pad_bias(mh, mw, value, margins, core_hw):
     """Letterbox pad bias broadcastable to the planes einsum output
-    (..., i, r, t, c, j); margin cells stay 0 (conv zero padding)."""
+    (..., i, r, t, c, j); margin cells stay 0 (conv zero padding).
+    ``value`` is a scalar, or a per-channel (C,) vector (the YUV-direct
+    path pads with ``target - mix_offset`` per RGB channel)."""
     if mh is None and mw is None:
         return None
     (mt, mb), (ml, mr) = margins
@@ -586,7 +588,8 @@ def _planes_pad_bias(mh, mw, value: float, margins, core_hw):
     core_j = np.pad(np.ones((cj,), np.float32), (ml, mr))
     mask = mask * core_i[:, None, None, None, None]
     mask = mask * core_j[None, None, None, None, :]
-    return jnp.asarray(value * mask, jnp.float32)
+    val = np.asarray(value, np.float32).reshape(1, 1, 1, -1, 1)
+    return jnp.asarray(val * mask, jnp.float32)
 
 
 def _phase_resize_to_planes(
@@ -662,3 +665,160 @@ def ufld_v2_preprocess_planes(
     ah = _phase_crop_matrix(bgr_chw.shape[-2], resize_h, resize_h - input_h)
     aw = _phase_crop_matrix(bgr_chw.shape[-1], input_w, 0)
     return _phase_resize_to_planes(rgb, ah, aw, None, dtype, margins)
+
+
+# ---- YUV-direct planes emission (skip the full-res color conversion) -------
+#
+# ``i420_to_bgr_planar`` materializes full-resolution f32 BGR planes (plus
+# the nearest-2x chroma upsample) only for the resize dots to immediately
+# re-read them — ~1.8 ms of an 8-frame step in the round-3 profile.  The
+# whole chain is affine, so it folds into the dots instead: Y resizes at
+# full resolution with the standard phase matrices, U/V resize at their
+# native HALF resolution with the matrices composed with the nearest-2x
+# upsample (exact: ah_uv[r,i,t] = ah[r,i,2t] + ah[r,i,2t+1]), and the
+# BT.601 mix + model normalization run as one per-channel 3-tap combine at
+# TARGET resolution.  Channel offsets (-16/-128 and the ImageNet mean,
+# mapped through the mix inverse) are subtracted on the tiny SOURCE
+# tensors: interp-matrix rows sum to 1 on image cells and 0 on letterbox
+# pad rows and halo margins, so offsets appear exactly where they belong
+# and margins stay exact zeros with no mask tensors at all.
+#
+# Divergence from the reference (and from ``i420_to_bgr_planar``): the
+# full-res ``round``/``clip`` that mimicked cv2's uint8 decode is dropped
+# (non-linear, cannot ride a matrix).  For in-gamut video the difference
+# is bounded by the resize of +-0.5 rounding, i.e. <=0.5/255 of input
+# scale — below the bf16 stem input's own quantization step.
+
+#: BT.601 studio-swing YUV->RGB (rows R,G,B; cols Y,U,V) — the same
+#: coefficients as :func:`i420_to_bgr`.
+_BT601_RGB = np.array(
+    [
+        [1.164, 0.0, 1.596],
+        [1.164, -0.391, -0.813],
+        [1.164, 2.018, 0.0],
+    ],
+    np.float32,
+)
+_I420_OFF = np.array([16.0, 128.0, 128.0], np.float32)
+
+
+def _split_i420(yuv: jnp.ndarray, h: int, w: int):
+    """(H*3/2, W) uint8 I420 stack -> f32 Y (1, H, W) and UV (2, H/2,
+    W/2) plane stacks (vmap-compatible: shapes are per-example)."""
+    y = yuv[:h].astype(jnp.float32)[None]
+    u = yuv[h : h + h // 4].reshape(h // 2, w // 2).astype(jnp.float32)
+    v = yuv[h + h // 4 :].reshape(h // 2, w // 2).astype(jnp.float32)
+    return y, jnp.stack([u, v])
+
+
+def _halve_phase(m2: np.ndarray) -> np.ndarray:
+    """Compose a phase-split interp matrix with the nearest-2x chroma
+    upsample: sampling ``repeat(p, 2)`` with weights ``m2`` equals
+    sampling ``p`` with adjacent weight pairs summed."""
+    assert m2.shape[-1] % 2 == 0, m2.shape
+    return (m2[..., 0::2] + m2[..., 1::2]).astype(np.float32)
+
+
+def _phase_resize_planes_yuv(
+    yuv: jnp.ndarray,
+    src_h: int,
+    src_w: int,
+    src_off: np.ndarray,
+    ah: np.ndarray,
+    aw: np.ndarray,
+    mmat: np.ndarray,
+    pad_bias,
+    dtype,
+    margins,
+) -> S2DPlanes:
+    """Shared YUV-direct emission: two phase-dot chains (Y full-res,
+    UV half-res) + the folded 3x3 mix at target resolution."""
+    (mt, mb), (ml, mr) = margins
+    ah = np.pad(ah, ((0, 0), (mt, mb), (0, 0)))
+    aw = np.pad(aw, ((0, 0), (ml, mr), (0, 0)))
+    prec = _resize_precision()
+    y, uv = _split_i420(yuv, src_h, src_w)
+    y = y - src_off[0]
+    uv = uv - jnp.asarray(src_off[1:], jnp.float32)[:, None, None]
+
+    def dots(p, ahx, awx):
+        tmp = jnp.einsum(
+            "ris,csu->criu", jnp.asarray(ahx), p,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        return jnp.einsum(
+            "tju,criu->irtcj", jnp.asarray(awx), tmp,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    oy = dots(y, ah, aw)  # (i, r, t, 1, j)
+    ouv = dots(uv, _halve_phase(ah), _halve_phase(aw))  # (i, r, t, 2, j)
+    yy = oy[..., 0:1, :]
+    uu, vv = ouv[..., 0:1, :], ouv[..., 1:2, :]
+    out = jnp.concatenate(
+        [
+            float(mmat[d, 0]) * yy
+            + float(mmat[d, 1]) * uu
+            + float(mmat[d, 2]) * vv
+            for d in range(3)
+        ],
+        axis=-2,
+    )  # (i, r, t, 3, j), RGB
+    if pad_bias is not None:
+        out = out + pad_bias
+    i, j = ah.shape[1], aw.shape[1]
+    data = out.astype(dtype).reshape(i, 12, j)[None]
+    hs, ws = i - mt - mb, j - ml - mr
+    return S2DPlanes(data, (1, 2 * hs, 2 * ws, 3), margins)
+
+
+def yolo_preprocess_planes_yuv(
+    yuv: jnp.ndarray,
+    src_h: int,
+    src_w: int,
+    geom: LetterboxGeometry,
+    dtype=jnp.float32,
+    margins=((1, 0), (1, 0)),
+) -> S2DPlanes:
+    """:func:`yolo_preprocess_planes` straight from the I420 transport
+    buffer — color conversion folded into the resize dots (see section
+    comment).  Takes one frame's (H*3/2, W) stack; batch via vmap."""
+    newh, neww = geom.new_shape
+    padh, padw = geom.pad
+    ah, mh = _phase_matrices(src_h, newh, padh, geom.dst_h)
+    aw, mw = _phase_matrices(src_w, neww, padw, geom.dst_w)
+    bias = _planes_pad_bias(
+        mh, mw, PAD_VALUE / 255.0, margins,
+        (geom.dst_h // 2, geom.dst_w // 2),
+    )
+    return _phase_resize_planes_yuv(
+        yuv, src_h, src_w, _I420_OFF, ah, aw, _BT601_RGB / 255.0,
+        bias, dtype, margins,
+    )
+
+
+def ufld_v2_preprocess_planes_yuv(
+    yuv: jnp.ndarray,
+    src_h: int,
+    src_w: int,
+    input_h: int,
+    input_w: int,
+    crop_ratio: float,
+    dtype=jnp.float32,
+    margins=((3, 2), (3, 2)),
+) -> S2DPlanes:
+    """:func:`ufld_v2_preprocess_planes` straight from the I420 stack.
+    The ImageNet mean rides the source-side offset through the mix
+    inverse (``M·(off - base) = mean255``); std scales the mix rows."""
+    resize_h = int(input_h / crop_ratio)
+    mean255 = np.asarray(IMAGENET_MEAN, np.float32) * 255.0
+    std255 = np.asarray(IMAGENET_STD, np.float32) * 255.0
+    off = _I420_OFF + np.linalg.solve(
+        _BT601_RGB.astype(np.float64), mean255.astype(np.float64)
+    ).astype(np.float32)
+    ah = _phase_crop_matrix(src_h, resize_h, resize_h - input_h)
+    aw = _phase_crop_matrix(src_w, input_w, 0)
+    return _phase_resize_planes_yuv(
+        yuv, src_h, src_w, off, ah, aw,
+        _BT601_RGB / std255[:, None], None, dtype, margins,
+    )

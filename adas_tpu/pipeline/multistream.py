@@ -31,9 +31,11 @@ from ..ops.preprocess import (
     ufld_v2_preprocess,
     ufld_v2_preprocess_planar,
     ufld_v2_preprocess_planes,
+    ufld_v2_preprocess_planes_yuv,
     yolo_preprocess,
     yolo_preprocess_planar,
     yolo_preprocess_planes,
+    yolo_preprocess_planes_yuv,
 )
 from ..ops.ufld_decode import ufld_v2_decode
 from ..ops.yolo_decode import (
@@ -173,17 +175,26 @@ class MultiStreamADAS:
                 # channel-major, so color-convert/resize/normalize keep
                 # W in the 128-lane minor dim (channel-minor (H, W, 3)
                 # wastes ~97% of every VPU lane) and transpose to NHWC
-                # once, on the model-input-sized tensor (ops/preprocess)
-                bgr_p = i420_to_bgr_planar(frame_in, src_h, src_w)
-                if planes_y:
-                    x = yolo_preprocess_planes(
-                        bgr_p[None], geom, dtype=in_dtype,
+                # once, on the model-input-sized tensor (ops/preprocess).
+                # When BOTH stems take S2DPlanes the color convert folds
+                # into the resize dots (ops/preprocess YUV-direct) and no
+                # full-res plane ever materializes.
+                if planes_y and planes_l:
+                    x = yolo_preprocess_planes_yuv(
+                        frame_in, src_h, src_w, geom, dtype=in_dtype,
                         margins=planes_y,
                     )
                 else:
-                    x = yolo_preprocess_planar(
-                        bgr_p[None], geom, dtype=in_dtype, s2d=s2d_y
-                    )
+                    bgr_p = i420_to_bgr_planar(frame_in, src_h, src_w)
+                    if planes_y:
+                        x = yolo_preprocess_planes(
+                            bgr_p[None], geom, dtype=in_dtype,
+                            margins=planes_y,
+                        )
+                    else:
+                        x = yolo_preprocess_planar(
+                            bgr_p[None], geom, dtype=in_dtype, s2d=s2d_y
+                        )
             else:
                 frame_bgr = frame_in
                 x = yolo_preprocess(frame_bgr[None], geom, dtype=in_dtype)
@@ -204,7 +215,13 @@ class MultiStreamADAS:
                     iou_threshold=iou, max_det=max_det,
                 )
             dets = detections_to_original(dets, geom)
-            if transport == "i420" and planes_l:
+            if transport == "i420" and planes_y and planes_l:
+                lx = ufld_v2_preprocess_planes_yuv(
+                    frame_in, src_h, src_w, lspec.input_height,
+                    lspec.input_width, lspec.crop_ratio,
+                    dtype=lane_dtype, margins=planes_l,
+                )
+            elif transport == "i420" and planes_l:
                 lx = ufld_v2_preprocess_planes(
                     bgr_p[None], lspec.input_height, lspec.input_width,
                     lspec.crop_ratio, dtype=lane_dtype, margins=planes_l,

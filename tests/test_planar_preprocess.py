@@ -144,6 +144,114 @@ def test_s2d_rejected_by_non_polyphase_conv(frame):
         net.apply(variables, xs)
 
 
+def _bgr_planes_unrounded(yuv_np, h, w):
+    """i420_to_bgr_planar's math WITHOUT the uint8 round/clip — the
+    exact linear chain the YUV-direct path folds into its matrices."""
+    y = yuv_np[:h].astype(np.float32)
+    u = yuv_np[h : h + h // 4].reshape(h // 2, w // 2).astype(np.float32)
+    v = yuv_np[h + h // 4 :].reshape(h // 2, w // 2).astype(np.float32)
+    up = lambda p: p.repeat(2, axis=0).repeat(2, axis=1)
+    uu, vv = up(u) - 128.0, up(v) - 128.0
+    yy = 1.164 * (y - 16.0)
+    r = yy + 1.596 * vv
+    g = yy - 0.391 * uu - 0.813 * vv
+    b = yy + 2.018 * uu
+    return np.stack([b, g, r])
+
+
+def test_yolo_planes_yuv_exact_vs_unrounded_chain(frame):
+    """YUV-direct emission == the planes path fed the UNROUNDED BGR
+    (the two differ only by the dropped uint8 round/clip)."""
+    from adas_tpu.ops.preprocess import (
+        yolo_preprocess_planes,
+        yolo_preprocess_planes_yuv,
+    )
+
+    yuv = bgr_to_i420(frame)
+    geom = LetterboxGeometry(108, 192, 64, 64)
+    bgr_u = jnp.asarray(_bgr_planes_unrounded(yuv, 108, 192))
+    want = np.asarray(yolo_preprocess_planes(bgr_u[None], geom).data)
+    got = yolo_preprocess_planes_yuv(jnp.asarray(yuv), 108, 192, geom)
+    np.testing.assert_allclose(np.asarray(got.data), want, atol=1e-4)
+    assert got.shape == (1, 64, 64, 3)
+    assert got.margins == ((1, 0), (1, 0))
+
+
+def test_ufld_planes_yuv_exact_vs_unrounded_chain(frame):
+    from adas_tpu.ops.preprocess import (
+        ufld_v2_preprocess_planes,
+        ufld_v2_preprocess_planes_yuv,
+    )
+
+    yuv = bgr_to_i420(frame)
+    bgr_u = jnp.asarray(_bgr_planes_unrounded(yuv, 108, 192))
+    want = np.asarray(
+        ufld_v2_preprocess_planes(bgr_u[None], 64, 128, 0.8).data
+    )
+    got = ufld_v2_preprocess_planes_yuv(
+        jnp.asarray(yuv), 108, 192, 64, 128, 0.8
+    )
+    np.testing.assert_allclose(np.asarray(got.data), want, atol=5e-4)
+
+
+def test_planes_yuv_close_to_rounded_path():
+    """Against the SERVED rounded path the divergence is bounded by the
+    resize of +-0.5 uint8 rounding (documented in ops/preprocess).
+
+    Uses a smooth in-gamut frame: the bound is a VIDEO contract.  Pure
+    uint8 noise is pathological for 4:2:0 — chroma averaging over 2x2
+    blocks of uncorrelated colors reconstructs far outside [0, 255], so
+    the rounded path's clip (cv2 decode parity) diverges arbitrarily
+    from any linear chain.  The noise-frame case is still pinned by the
+    exact-vs-unrounded tests above.
+    """
+    from adas_tpu.ops.preprocess import (
+        ufld_v2_preprocess_planes,
+        ufld_v2_preprocess_planes_yuv,
+        yolo_preprocess_planes,
+        yolo_preprocess_planes_yuv,
+    )
+
+    yy, xx = np.mgrid[0:108, 0:192].astype(np.float32)
+    frame = np.stack(
+        [
+            20 + 200 * yy / 107,
+            20 + 200 * xx / 191,
+            20 + 100 * (yy / 107 + xx / 191),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    yuv = jnp.asarray(bgr_to_i420(frame))
+    bgr_p = i420_to_bgr_planar(yuv, 108, 192)
+    geom = LetterboxGeometry(108, 192, 64, 64)
+    a = np.asarray(yolo_preprocess_planes(bgr_p[None], geom).data)
+    b = np.asarray(
+        yolo_preprocess_planes_yuv(yuv, 108, 192, geom).data
+    )
+    np.testing.assert_allclose(a, b, atol=3e-3)
+    a = np.asarray(
+        ufld_v2_preprocess_planes(bgr_p[None], 64, 128, 0.8).data
+    )
+    b = np.asarray(
+        ufld_v2_preprocess_planes_yuv(yuv, 108, 192, 64, 128, 0.8).data
+    )
+    np.testing.assert_allclose(a, b, atol=1.5e-2)
+
+
+def test_planes_yuv_under_vmap(frame):
+    """The multistream step vmaps the emission over the stream batch."""
+    from adas_tpu.ops.preprocess import yolo_preprocess_planes_yuv
+
+    rng = np.random.default_rng(5)
+    frames = [frame, rng.integers(0, 255, (108, 192, 3), dtype=np.uint8)]
+    stacks = jnp.asarray(np.stack([bgr_to_i420(f) for f in frames]))
+    geom = LetterboxGeometry(108, 192, 64, 64)
+    f = lambda s: yolo_preprocess_planes_yuv(s, 108, 192, geom).data
+    got = np.asarray(jax.vmap(f)(stacks))
+    want = np.stack([np.asarray(f(stacks[i])) for i in range(2)])
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 def test_multistream_i420_planar_end_to_end():
     """The fused multistream step serves the planar+s2d path: results
     carry the full per-stream contract and trackers advance."""
