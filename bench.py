@@ -48,7 +48,57 @@ DEVICE_KF = os.environ.get("ADAS_BENCH_DEVICE_KF", "0") == "1"
 #: headline serving precision: "int8" (calibrated + packed — the
 #: TRT-grade static pipeline, fastest measured) or "bf16"
 DTYPE = os.environ.get("ADAS_BENCH_DTYPE", "int8")
+#: max seconds to wait for the accelerator backend to come up before
+#: the first device op (the tunneled plugin flakes: backend init has
+#: been observed to hang ~18 min then raise UNAVAILABLE; a bench that
+#: crashes on a transient outage records nothing)
+WAIT_S = float(os.environ.get("ADAS_BENCH_WAIT", "1500"))
 BASELINE_FPS = 300.0
+
+
+def wait_for_backend(max_wait_s: float = WAIT_S) -> None:
+    """Block until a JAX backend can actually run a device op.
+
+    Probes in a SUBPROCESS: a failed PJRT plugin init poisons the
+    in-process backend cache, so retrying must happen before this
+    process touches jax.  Each probe gets a generous timeout (tunnel
+    init alone can take minutes); failures back off and retry until
+    ``max_wait_s`` is spent, then fall through and let the real run
+    raise loudly."""
+    import subprocess
+    import sys
+
+    probe = (
+        "import jax, jax.numpy as jnp; "
+        "print(float(jnp.ones((3,), jnp.float32).sum()))"
+    )
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        budget = max(min(600.0, deadline - time.monotonic()), 60.0)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=budget,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            print(
+                f"# wait_for_backend: gave up after {attempt} probes "
+                f"({max_wait_s:.0f}s) — proceeding (will raise)",
+                flush=True,
+            )
+            return
+        print(
+            f"# wait_for_backend: probe {attempt} failed, retrying",
+            flush=True,
+        )
+        time.sleep(30.0)
 
 #: adaptive host downscale ladder (I420 transport, bytes/frame =
 #: h*w*1.5): picked by the measured tunnel bandwidth so upload never
@@ -422,6 +472,8 @@ def main() -> None:
     from adas_tpu.engine.xla_engine import enable_persistent_cache
 
     enable_persistent_cache()
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        wait_for_backend()
 
     import jax.numpy as jnp
 
