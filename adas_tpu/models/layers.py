@@ -9,7 +9,8 @@ collection.
 from __future__ import annotations
 
 import contextlib
-from typing import Callable, Optional, Sequence, Tuple
+import os
+from typing import Callable, NamedTuple, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -25,6 +26,50 @@ _QUANT_MODE: Optional[str] = None
 #: weight-scale shapes into a mutable "wscales" collection (used under
 #: jax.eval_shape to discover which kernels to pre-quantize at load time)
 INT8_MODES = ("int8", "int8_calib", "int8_pack")
+
+#: trace-time switch for s8-CHAINED activations: on single-consumer
+#: conv->conv edges (model code passes ``emit_q=True``), the producer's
+#: fused epilogue quantizes its post-activation output with its own
+#: calibrated output scale and hands the consumer an int8 ``QTensor``
+#: directly — the bf16 intermediate never exists, the consumer skips its
+#: input quantize entirely.  This is the int8 activation chaining TRT's
+#: engine builder does between int8 layers
+#: (/root/reference/convertOnnxToTensorRT.py:28-99 builds whole-network
+#: int8).  Only active for CALIBRATED int8 serving (the producer's
+#: "ymax" scale must be static); uncalibrated serving falls back to the
+#: per-consumer dynamic quantize unchanged.
+_S8_CHAIN = os.environ.get("ADAS_INT8_S8CHAIN", "1") != "0"
+
+
+def set_s8_chain(enabled: bool) -> None:
+    """Enable/disable s8-chained activations (trace-time; jitted graphs
+    bake the setting in, so flip BEFORE tracing)."""
+    global _S8_CHAIN
+    _S8_CHAIN = bool(enabled)
+
+
+class QTensor(NamedTuple):
+    """An int8-quantized activation: ``data`` s8, per-tensor ``scale``
+    (f32 scalar; dequant = data * scale).  Flows between chained
+    Int8Convs so the bf16 intermediate never materializes."""
+
+    data: jnp.ndarray
+    scale: jnp.ndarray
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def dequant(self) -> jnp.ndarray:
+        """bf16 value view — the guard for a QTensor reaching an
+        int8-ineligible consumer (depthwise conv, f32 head)."""
+        return (
+            self.data.astype(jnp.float32) * self.scale
+        ).astype(jnp.bfloat16)
 
 
 @contextlib.contextmanager
@@ -106,6 +151,9 @@ def int8_act_scale(mod: nn.Module, x: jnp.ndarray) -> Optional[jnp.ndarray]:
     STATIC scale when an ``act_scales`` collection is present, else None
     (dynamic absmax — a global reduce on the critical path; calibration
     exists to remove it)."""
+    if isinstance(x, QTensor):
+        # chained input arrives pre-quantized with the producer's scale
+        return x.scale
     if _QUANT_MODE == "int8_calib":
         seen = mod.variable(
             "act_scales", "xmax", lambda: jnp.zeros((), jnp.float32)
@@ -177,7 +225,13 @@ class Int8Conv(nn.Module):
     use_bias: bool = False
 
     @nn.compact
-    def __call__(self, x, fold=None, act: Optional[Callable] = None):
+    def __call__(
+        self,
+        x,
+        fold=None,
+        act: Optional[Callable] = None,
+        emit_q: bool = False,
+    ):
         kh, kw = self.kernel_size
         in_per_group = x.shape[-1] // self.feature_group_count
         kernel = self.param(
@@ -192,7 +246,23 @@ class Int8Conv(nn.Module):
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32
             )
-        return int8_conv_apply(
+        # s8-chained output (see _S8_CHAIN): only for calibrated serving
+        # — the producer's static output scale ("ymax", recorded by the
+        # same calibration pass that records "xmax") must exist
+        want_emit = emit_q and _S8_CHAIN
+        out_scale = None
+        if (
+            want_emit
+            and _QUANT_MODE == "int8"
+            and self.has_variable("act_scales", "ymax")
+        ):
+            out_scale = (
+                jnp.maximum(
+                    self.get_variable("act_scales", "ymax"), 1e-12
+                )
+                / 127.0
+            )
+        y = int8_conv_apply(
             x, kernel, self.strides, self.padding,
             feature_group_count=self.feature_group_count,
             kernel_dilation=self.kernel_dilation,
@@ -201,7 +271,16 @@ class Int8Conv(nn.Module):
             conv_bias=bias,
             fold=fold,
             act=act,
+            out_scale=out_scale,
         )
+        if want_emit and _QUANT_MODE == "int8_calib":
+            seen = self.variable(
+                "act_scales", "ymax", lambda: jnp.zeros((), jnp.float32)
+            )
+            seen.value = jnp.maximum(
+                seen.value, jnp.max(jnp.abs(y.astype(jnp.float32)))
+            )
+        return y
 
 
 def int8_conv_apply(
@@ -216,6 +295,7 @@ def int8_conv_apply(
     conv_bias: Optional[jnp.ndarray] = None,
     fold=None,
     act: Optional[Callable] = None,
+    out_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """The W8A8 conv math of :class:`Int8Conv` as a free function.
 
@@ -225,7 +305,10 @@ def int8_conv_apply(
     pre-quantized (wq, wscale); None quantizes ``kernel`` in-graph.
     ``fold``: per-channel (gain, bias) of a folded BatchNorm;
     ``conv_bias`` folds in as ``gain * conv_bias`` (torch applies conv
-    bias before BN).  ``act`` runs inside the same fused epilogue."""
+    bias before BN).  ``act`` runs inside the same fused epilogue.
+    ``x`` may be a :class:`QTensor` (chained s8 input — skips the input
+    quantize); ``out_scale`` non-None emits a QTensor quantized with it
+    inside the same epilogue (s8-chained output)."""
     if wqparams is None:
         k = jnp.asarray(kernel, jnp.float32)
         wmax = jnp.max(jnp.abs(k), axis=(0, 1, 2))
@@ -234,11 +317,14 @@ def int8_conv_apply(
     else:
         wq, wscale = wqparams
         wscale = wscale.reshape(-1)
-    xf = x.astype(jnp.float32)
-    if xscale is None:
-        xmax = jnp.max(jnp.abs(xf))
-        xscale = jnp.maximum(xmax, 1e-12) / 127.0
-    xq = jnp.clip(jnp.round(xf / xscale), -127, 127).astype(jnp.int8)
+    if isinstance(x, QTensor):
+        xq, xscale = x.data, x.scale
+    else:
+        xf = x.astype(jnp.float32)
+        if xscale is None:
+            xmax = jnp.max(jnp.abs(xf))
+            xscale = jnp.maximum(xmax, 1e-12) / 127.0
+        xq = jnp.clip(jnp.round(xf / xscale), -127, 127).astype(jnp.int8)
     acc = jax.lax.conv_general_dilated(
         xq,
         wq,
@@ -264,6 +350,12 @@ def int8_conv_apply(
         y = y + bias
     if act is not None:
         y = act(y)
+    if out_scale is not None:
+        # s8-chained emission: the requantize rides THIS conv's fused
+        # epilogue and only the 1-byte tensor lands in HBM; the
+        # consumer conv reads it with no input quantize at all
+        yq = jnp.clip(jnp.round(y / out_scale), -127, 127).astype(jnp.int8)
+        return QTensor(yq, out_scale)
     if fold is not None:
         # folded (Conv+BN) layers emit bf16: halves inter-layer HBM
         # traffic vs f32 (the next conv's quantize and any residual/
@@ -366,7 +458,7 @@ class ConvBN(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, emit_q: bool = False):
         # torch semantics (pad=k//2 symmetric) differ from lax "SAME" on
         # stride-2 / even inputs; default to the torch convention since all
         # ingested checkpoints assume it.
@@ -385,6 +477,10 @@ class ConvBN(nn.Module):
             and isinstance(padding, (list, tuple))
             and int8_conv_eligible(self.groups, x.shape[-1])
         )
+        if isinstance(x, QTensor) and not use_int8:
+            # a chained s8 input reaching an int8-ineligible consumer
+            # (depthwise/grouped conv, train path): take the bf16 view
+            x = x.dequant()
         if use_int8:
             fold = None
             if self.use_bn:
@@ -398,7 +494,7 @@ class ConvBN(nn.Module):
                 kernel_dilation=self.dilation,
                 use_bias=self.use_bias or not self.use_bn,
                 name="conv",
-            )(x, fold=fold, act=self.act)
+            )(x, fold=fold, act=self.act, emit_q=emit_q)
         # int8-ineligible layers under int8 mode run bf16 (MXU-native)
         dtype = self.dtype
         if _QUANT_MODE in INT8_MODES and dtype is None:

@@ -22,7 +22,7 @@ _NHWC = ("NHWC", "HWIO", "NHWC")
 
 def _conv_bn(x, features, kernel, strides=(1, 1), padding=((0, 0), (0, 0)),
              conv_name=None, bn_name=None, act=None, dtype=jnp.float32,
-             train: bool = False):
+             train: bool = False, emit_q: bool = False):
     """Conv (torchvision layout: bias-free ``{conv_name}/kernel`` +
     separate ``{bn_name}`` BatchNorm) with optional activation.
 
@@ -30,6 +30,8 @@ def _conv_bn(x, features, kernel, strides=(1, 1), padding=((0, 0), (0, 0)),
     Int8Conv with the BatchNorm affine FOLDED into its dequant epilogue
     (layers.BNFoldParams keeps the identical variable layout) — the
     TRT-grade Conv+BN fusion, extended to the torchvision-layout trunk.
+    ``emit_q``: s8-chain the output to a single conv consumer
+    (layers._S8_CHAIN).
     """
     if (
         _layers._QUANT_MODE in _layers.INT8_MODES
@@ -40,7 +42,9 @@ def _conv_bn(x, features, kernel, strides=(1, 1), padding=((0, 0), (0, 0)),
         return _layers.Int8Conv(
             features, kernel, strides=strides, padding=padding,
             name=conv_name,
-        )(x, fold=fold, act=act)
+        )(x, fold=fold, act=act, emit_q=emit_q)
+    if isinstance(x, _layers.QTensor):
+        x = x.dequant()
     y = nn.Conv(
         features, kernel, strides=strides, padding=padding,
         use_bias=False, dtype=dtype, name=conv_name,
@@ -115,10 +119,12 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
+        # conv1 -> conv2 is a single-consumer edge: s8-chain it
+        # (layers._S8_CHAIN) so the bf16 intermediate never lands in HBM
         y = _conv_bn(
             x, self.features, (3, 3), strides=(self.strides, self.strides),
             padding=((1, 1), (1, 1)), conv_name="conv1", bn_name="bn1",
-            act=nn.relu, dtype=self.dtype, train=train,
+            act=nn.relu, dtype=self.dtype, train=train, emit_q=True,
         )
         y = _conv_bn(
             y, self.features, (3, 3), padding=((1, 1), (1, 1)),
@@ -143,15 +149,16 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train: bool = False):
         out_features = self.features * 4
         identity = x
+        # conv1 -> conv2 -> conv3 are single-consumer edges: s8-chain
         y = _conv_bn(
             x, self.features, (1, 1), conv_name="conv1", bn_name="bn1",
-            act=nn.relu, dtype=self.dtype, train=train,
+            act=nn.relu, dtype=self.dtype, train=train, emit_q=True,
         )
         y = _conv_bn(
             y, self.features, (3, 3),
             strides=(self.strides, self.strides),
             padding=((1, 1), (1, 1)), conv_name="conv2", bn_name="bn2",
-            act=nn.relu, dtype=self.dtype, train=train,
+            act=nn.relu, dtype=self.dtype, train=train, emit_q=True,
         )
         y = _conv_bn(
             y, out_features, (1, 1), conv_name="conv3", bn_name="bn3",

@@ -104,7 +104,12 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train=False):
         hidden = int(self.features * self.expansion)
-        y = ConvBN(hidden, (self.kernels[0],) * 2, name="cv1")(x, train)
+        # cv1 -> cv2 is a single-consumer edge: chain s8 between the
+        # int8 epilogues (layers._S8_CHAIN) so no bf16 intermediate
+        # lands in HBM
+        y = ConvBN(hidden, (self.kernels[0],) * 2, name="cv1")(
+            x, train, emit_q=True
+        )
         y = ConvBN(self.features, (self.kernels[1],) * 2, name="cv2")(y, train)
         if self.shortcut and x.shape[-1] == self.features:
             y = x + y
@@ -119,7 +124,7 @@ class C3(nn.Module):
     shortcut: bool = True
 
     @nn.compact
-    def __call__(self, x, train=False):
+    def __call__(self, x, train=False, emit_q=False):
         hidden = self.features // 2
         a = ConvBN(hidden, (1, 1), name="cv1")(x, train)
         for i in range(self.n):
@@ -129,7 +134,7 @@ class C3(nn.Module):
             )(a, train)
         b = ConvBN(hidden, (1, 1), name="cv2")(x, train)
         return ConvBN(self.features, (1, 1), name="cv3")(
-            jnp.concatenate([a, b], axis=-1), train
+            jnp.concatenate([a, b], axis=-1), train, emit_q=emit_q
         )
 
 
@@ -141,7 +146,7 @@ class C2f(nn.Module):
     shortcut: bool = False
 
     @nn.compact
-    def __call__(self, x, train=False):
+    def __call__(self, x, train=False, emit_q=False):
         hidden = self.features // 2
         y = ConvBN(2 * hidden, (1, 1), name="cv1")(x, train)
         parts = [y[..., :hidden], y[..., hidden:]]
@@ -153,7 +158,7 @@ class C2f(nn.Module):
                 )(parts[-1], train)
             )
         return ConvBN(self.features, (1, 1), name="cv2")(
-            jnp.concatenate(parts, axis=-1), train
+            jnp.concatenate(parts, axis=-1), train, emit_q=emit_q
         )
 
 
@@ -333,28 +338,42 @@ class YoloBackboneNeck(nn.Module):
             x = ConvBN(ch[0], (6, 6), strides=(2, 2), name="stem")(x, train)
         else:
             x = ConvBN(ch[0], (3, 3), strides=(2, 2), name="stem")(x, train)
-        x = ConvBN(ch[1], (3, 3), strides=(2, 2), name="down1")(x, train)
-        x = Block(ch[1], d[0], True, name="stage1")(x, train)
-        x = ConvBN(ch[2], (3, 3), strides=(2, 2), name="down2")(x, train)
+        # single-consumer conv->conv backbone edges chain s8 activations
+        # (layers._S8_CHAIN): downN -> stageN entry, stage1 -> down2,
+        # stage4 -> sppf.cv1.  Multi-consumer taps (p3/p4 feed the neck
+        # concats, which need bf16) stay unchained.
+        x = ConvBN(ch[1], (3, 3), strides=(2, 2), name="down1")(
+            x, train, emit_q=True
+        )
+        x = Block(ch[1], d[0], True, name="stage1")(x, train, emit_q=True)
+        x = ConvBN(ch[2], (3, 3), strides=(2, 2), name="down2")(
+            x, train, emit_q=True
+        )
         p3 = Block(ch[2], d[1], True, name="stage2")(x, train)
         if v10:
             x = SCDown(ch[3], name="down3")(p3, train)
         else:
-            x = ConvBN(ch[3], (3, 3), strides=(2, 2), name="down3")(p3, train)
+            x = ConvBN(ch[3], (3, 3), strides=(2, 2), name="down3")(
+                p3, train, emit_q=True
+            )
         p4 = Block(ch[3], d[2], True, name="stage3")(x, train)
         if v10:
             x = SCDown(ch[4], name="down4")(p4, train)
             lk = v10_lk_flags(s)
             # v10n keeps a plain C2f at stride 32; s and up use C2fCIB
             if s.scale == "n":
-                x = C2f(ch[4], d[3], True, name="stage4")(x, train)
+                x = C2f(ch[4], d[3], True, name="stage4")(
+                    x, train, emit_q=True
+                )
             else:
                 x = C2fCIB(ch[4], d[3], True, lk=lk[0], name="stage4")(
                     x, train
                 )
         else:
-            x = ConvBN(ch[4], (3, 3), strides=(2, 2), name="down4")(p4, train)
-            x = Block(ch[4], d[3], True, name="stage4")(x, train)
+            x = ConvBN(ch[4], (3, 3), strides=(2, 2), name="down4")(
+                p4, train, emit_q=True
+            )
+            x = Block(ch[4], d[3], True, name="stage4")(x, train, emit_q=True)
         p5 = SPPF(ch[4], name="sppf")(x, train)
         if v10:
             p5 = PSA(ch[4], name="psa")(p5, train)

@@ -421,3 +421,178 @@ class TestInt8Policy:
         assert not int8_conv_eligible(1, 3)
         assert not int8_conv_eligible(8, 64)
         assert int8_conv_eligible(1, 64)
+
+
+class TestS8Chain:
+    """s8-CHAINED activations (layers._S8_CHAIN): on single-consumer
+    conv->conv edges the producer's epilogue emits an int8 QTensor
+    quantized with its calibrated output scale and the consumer skips
+    its input quantize — the int8 activation chaining TRT's engine
+    builder does between int8 layers (convertOnnxToTensorRT.py:28-99
+    builds whole-network int8)."""
+
+    def _calibrated_v8n(self, rng):
+        from adas_tpu.tools.quantize import calibrate_act_scales
+
+        spec = YoloSpec(
+            family="v8", scale="n", num_classes=80, input_size=(96, 96)
+        )
+        net = build_yolo(spec)
+        x = jnp.asarray(rng.standard_normal((1, 96, 96, 3)), jnp.float32)
+        v = net.init(jax.random.PRNGKey(0), x)
+        cal = calibrate_act_scales(
+            lambda vv, xi: net.apply(vv, xi, mutable=["act_scales"]),
+            v, [x],
+        )
+        return net, v, cal, x
+
+    def test_chain_matches_unchained(self, rng):
+        """Chained and unchained calibrated int8 agree (same scales —
+        the producer's ymax IS the consumer's xmax tensor — so only
+        round()-boundary flips differ; bounded in the mean)."""
+        from adas_tpu.models import layers as L
+
+        net, _, cal, x = self._calibrated_v8n(rng)
+        ymax = [
+            p
+            for p, _ in jax.tree_util.tree_leaves_with_path(
+                cal["act_scales"]
+            )
+            if "ymax" in str(p)
+        ]
+        assert len(ymax) >= 10, ymax  # chained edges recorded
+
+        try:
+            L.set_s8_chain(False)
+
+            def f_off(v, xx):
+                with quantized("int8"):
+                    return net.apply(v, xx)
+
+            off = np.asarray(jax.jit(f_off)(cal, x), np.float32)
+            L.set_s8_chain(True)
+
+            def f_on(v, xx):
+                with quantized("int8"):
+                    return net.apply(v, xx)
+
+            on = np.asarray(jax.jit(f_on)(cal, x), np.float32)
+        finally:
+            L.set_s8_chain(True)
+        assert np.abs(on - off).mean() / np.abs(off).mean() < 0.01
+
+    def test_chain_inactive_without_calibration(self, rng):
+        """Uncalibrated int8 serving (dynamic scales) cannot chain (no
+        static producer scale) and must run unchanged."""
+        net, v, _, x = self._calibrated_v8n(rng)
+
+        def f(vv, xx):
+            with quantized("int8"):
+                return net.apply(vv, xx)
+
+        out = np.asarray(jax.jit(f)(v, x), np.float32)
+        assert np.isfinite(out).all()
+
+    def test_resnet_chain_accuracy_not_degraded(self, rng):
+        """The lane trunk's BasicBlock conv1->conv2 edges chain.  An
+        untrained deep stack amplifies round()-boundary flips between
+        the two int8 programs, so chained-vs-unchained is noisy (2-3%
+        mean here) — the meaningful invariant is that chaining does not
+        degrade accuracy AGAINST THE F32 REFERENCE (measured: equal to
+        3 significant digits either way)."""
+        from adas_tpu.models import layers as L
+        from adas_tpu.models.resnet import ResNetFeatures
+        from adas_tpu.tools.quantize import calibrate_act_scales
+
+        net = ResNetFeatures(depth="18")
+        x = jnp.asarray(rng.standard_normal((1, 64, 96, 3)), jnp.float32)
+        v = net.init(jax.random.PRNGKey(0), x)
+        ref = net.apply(v, x)
+        cal = calibrate_act_scales(
+            lambda vv, xi: net.apply(vv, xi, mutable=["act_scales"]),
+            v, [x],
+        )
+        try:
+            L.set_s8_chain(False)
+
+            def f_off(vv, xx):
+                with quantized("int8"):
+                    return net.apply(vv, xx)
+
+            off = jax.jit(f_off)(cal, x)
+            L.set_s8_chain(True)
+
+            def f_on(vv, xx):
+                with quantized("int8"):
+                    return net.apply(vv, xx)
+
+            on = jax.jit(f_on)(cal, x)
+        finally:
+            L.set_s8_chain(True)
+        for r, a, b in zip(jax.tree_util.tree_leaves(ref),
+                           jax.tree_util.tree_leaves(off),
+                           jax.tree_util.tree_leaves(on)):
+            r, a, b = (np.asarray(t, np.float32) for t in (r, a, b))
+            err_off = np.abs(a - r).mean() / np.abs(r).mean()
+            err_on = np.abs(b - r).mean() / np.abs(r).mean()
+            assert err_on < err_off * 1.1 + 1e-4, (err_on, err_off)
+
+    def test_qtensor_into_ineligible_consumer_dequants(self, rng):
+        """A QTensor reaching an int8-ineligible ConvBN (depthwise) is
+        transparently dequantized to bf16 — chaining never changes WHERE
+        int8 runs, only how activations travel between int8 convs."""
+        from adas_tpu.models.layers import QTensor
+
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 8)), jnp.float32)
+        scale = jnp.asarray(np.abs(np.asarray(x)).max() / 127.0, jnp.float32)
+        q = QTensor(
+            jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8),
+            scale,
+        )
+        m = ConvBN(8, (3, 3), groups=8)
+        v = m.init(jax.random.PRNGKey(0), x)
+
+        def f(vv, xq):
+            with quantized("int8"):
+                return m.apply(vv, xq)
+
+        got = np.asarray(jax.jit(f)(v, q), np.float32)
+        ref = np.asarray(m.apply(v, x), np.float32)
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < 0.05, rel
+
+    def test_chain_with_packed_weights(self, rng):
+        """Chaining composes with load-time weight packing (int8 kernels
+        + wscales) — the full TRT-grade serving configuration."""
+        from adas_tpu.models import layers as L
+        from adas_tpu.tools.quantize import (
+            calibrate_act_scales,
+            pack_int8_weights,
+        )
+
+        spec = YoloSpec(
+            family="v8", scale="n", num_classes=80, input_size=(96, 96)
+        )
+        net = build_yolo(spec)
+        x = jnp.asarray(rng.standard_normal((1, 96, 96, 3)), jnp.float32)
+        v = net.init(jax.random.PRNGKey(0), x)
+        cal = calibrate_act_scales(
+            lambda vv, xi: net.apply(vv, xi, mutable=["act_scales"]),
+            v, [x],
+        )
+        packed = pack_int8_weights(
+            lambda vv: net.apply(vv, x, mutable=["wscales"]), cal
+        )
+
+        def f(vv, xx):
+            with quantized("int8"):
+                return net.apply(vv, xx)
+
+        got = np.asarray(jax.jit(f)(packed, x), np.float32)
+
+        def f2(vv, xx):
+            with quantized("int8"):
+                return net.apply(vv, xx)
+
+        want = np.asarray(jax.jit(f2)(cal, x), np.float32)
+        assert np.abs(got - want).mean() / np.abs(want).mean() < 0.01
