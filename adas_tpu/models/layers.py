@@ -43,7 +43,9 @@ _S8_CHAIN = os.environ.get("ADAS_INT8_S8CHAIN", "1") != "0"
 
 def set_s8_chain(enabled: bool) -> None:
     """Enable/disable s8-chained activations (trace-time; jitted graphs
-    bake the setting in, so flip BEFORE tracing)."""
+    bake the setting in, so flip BEFORE tracing).  The layer-chaining
+    behavior this toggles mirrors the whole-network int8 engine the
+    reference sketches (convertOnnxToTensorRT.py:28-99)."""
     global _S8_CHAIN
     _S8_CHAIN = bool(enabled)
 
@@ -51,7 +53,10 @@ def set_s8_chain(enabled: bool) -> None:
 class QTensor(NamedTuple):
     """An int8-quantized activation: ``data`` s8, per-tensor ``scale``
     (f32 scalar; dequant = data * scale).  Flows between chained
-    Int8Convs so the bf16 intermediate never materializes."""
+    Int8Convs so the bf16 intermediate never materializes — the
+    between-layer int8 tensors of the reference's sketched TRT int8
+    engine (convertOnnxToTensorRT.py:28-99; TRT keeps activations int8
+    across layer chains with fused requantization)."""
 
     data: jnp.ndarray
     scale: jnp.ndarray
@@ -399,10 +404,17 @@ class Int8Dense(nn.Module):
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32
             )
         wq, wscale = int8_weight_qparams(self, kernel)
-        xf = x.astype(jnp.float32)
-        if xscale is None:
-            xscale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
-        xq = jnp.clip(jnp.round(xf / xscale), -127, 127).astype(jnp.int8)
+        if isinstance(x, QTensor):
+            # chained s8 input (a producer conv's emit_q output): skip
+            # the input quantize, use the producer's scale
+            xq = x.data
+        else:
+            xf = x.astype(jnp.float32)
+            if xscale is None:
+                xscale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+            xq = jnp.clip(
+                jnp.round(xf / xscale), -127, 127
+            ).astype(jnp.int8)
         acc = jax.lax.dot_general(
             xq, wq,
             (((xq.ndim - 1,), (0,)), ((), ())),

@@ -106,9 +106,13 @@ class Bottleneck(nn.Module):
         hidden = int(self.features * self.expansion)
         # cv1 -> cv2 is a single-consumer edge: chain s8 between the
         # int8 epilogues (layers._S8_CHAIN) so no bf16 intermediate
-        # lands in HBM
+        # lands in HBM.  Only when cv2 can actually take int8 — emitting
+        # into an ineligible consumer would add a useless quantize/
+        # dequantize round trip on a previously-exact bf16 edge.
+        from .layers import int8_conv_eligible
+
         y = ConvBN(hidden, (self.kernels[0],) * 2, name="cv1")(
-            x, train, emit_q=True
+            x, train, emit_q=int8_conv_eligible(1, hidden)
         )
         y = ConvBN(self.features, (self.kernels[1],) * 2, name="cv2")(y, train)
         if self.shortcut and x.shape[-1] == self.features:
@@ -338,10 +342,11 @@ class YoloBackboneNeck(nn.Module):
             x = ConvBN(ch[0], (6, 6), strides=(2, 2), name="stem")(x, train)
         else:
             x = ConvBN(ch[0], (3, 3), strides=(2, 2), name="stem")(x, train)
-        # single-consumer conv->conv backbone edges chain s8 activations
-        # (layers._S8_CHAIN): downN -> stageN entry, stage1 -> down2,
-        # stage4 -> sppf.cv1.  Multi-consumer taps (p3/p4 feed the neck
-        # concats, which need bf16) stay unchained.
+        # backbone edges whose consumers are ALL int8 convs chain s8
+        # activations (layers._S8_CHAIN): downN -> stageN entry (for C3
+        # that is BOTH cv1 and cv2 reading the same QTensor), stage1 ->
+        # down2, stage4 -> sppf.cv1.  Taps with non-conv consumers
+        # (p3/p4 feed the neck concats, which need bf16) stay unchained.
         x = ConvBN(ch[1], (3, 3), strides=(2, 2), name="down1")(
             x, train, emit_q=True
         )

@@ -213,13 +213,26 @@ def calibrate_act_scales(apply_fn, variables: dict, sample_inputs) -> dict:
 
     jitted = jax.jit(_calib_step)
 
+    def _union_max(prev, new):
+        """Per-leaf union of two act_scales trees, jnp.maximum on common
+        leaves.  The trees can differ STRUCTURALLY: a store calibrated
+        before s8 chaining existed (or with chaining off) holds only
+        "xmax" leaves, while the new pass also records producer "ymax"
+        scales — tree_map over mismatched dicts would raise."""
+        if not hasattr(prev, "items") or not hasattr(new, "items"):
+            return jnp.maximum(prev, new)
+        out = dict(prev)
+        for k, v in new.items():
+            out[k] = _union_max(prev[k], v) if k in prev else v
+        return out
+
     merged = dict(variables)
     for x in sample_inputs:
         _, upd = jitted(merged, x)
         scales = upd["act_scales"]
         prev = merged.get("act_scales")
         if prev is not None:
-            scales = jax.tree_util.tree_map(jnp.maximum, prev, scales)
+            scales = _union_max(prev, scales)
         merged["act_scales"] = scales
     return merged
 

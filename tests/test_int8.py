@@ -462,6 +462,7 @@ class TestS8Chain:
         ]
         assert len(ymax) >= 10, ymax  # chained edges recorded
 
+        prev = L._S8_CHAIN
         try:
             L.set_s8_chain(False)
 
@@ -478,7 +479,7 @@ class TestS8Chain:
 
             on = np.asarray(jax.jit(f_on)(cal, x), np.float32)
         finally:
-            L.set_s8_chain(True)
+            L.set_s8_chain(prev)
         assert np.abs(on - off).mean() / np.abs(off).mean() < 0.01
 
     def test_chain_inactive_without_calibration(self, rng):
@@ -512,6 +513,7 @@ class TestS8Chain:
             lambda vv, xi: net.apply(vv, xi, mutable=["act_scales"]),
             v, [x],
         )
+        prev = L._S8_CHAIN
         try:
             L.set_s8_chain(False)
 
@@ -528,7 +530,7 @@ class TestS8Chain:
 
             on = jax.jit(f_on)(cal, x)
         finally:
-            L.set_s8_chain(True)
+            L.set_s8_chain(prev)
         for r, a, b in zip(jax.tree_util.tree_leaves(ref),
                            jax.tree_util.tree_leaves(off),
                            jax.tree_util.tree_leaves(on)):
@@ -596,3 +598,42 @@ class TestS8Chain:
 
         want = np.asarray(jax.jit(f2)(cal, x), np.float32)
         assert np.abs(got - want).mean() / np.abs(want).mean() < 0.01
+
+    def test_recalibrate_store_without_ymax(self, rng):
+        """Re-calibrating a store whose act_scales predate chaining
+        (xmax-only tree — e.g. calibrated with ADAS_INT8_S8CHAIN=0 or
+        saved by the quantize CLI before chaining existed) must union
+        the new ymax leaves in, not crash on the pytree mismatch."""
+        from adas_tpu.models import layers as L
+        from adas_tpu.models.resnet import ResNetFeatures
+        from adas_tpu.tools.quantize import calibrate_act_scales
+
+        net = ResNetFeatures(depth="18")
+        x = jnp.asarray(rng.standard_normal((1, 32, 48, 3)), jnp.float32)
+        v = net.init(jax.random.PRNGKey(0), x)
+        apply_fn = lambda vv, xi: net.apply(vv, xi, mutable=["act_scales"])
+
+        prev = L._S8_CHAIN
+        try:
+            L.set_s8_chain(False)
+            old_store = calibrate_act_scales(apply_fn, v, [x])
+            assert not any(
+                "ymax" in str(p)
+                for p, _ in jax.tree_util.tree_leaves_with_path(
+                    old_store["act_scales"]
+                )
+            )
+            L.set_s8_chain(True)
+            re_cal = calibrate_act_scales(apply_fn, old_store, [x * 2.0])
+        finally:
+            L.set_s8_chain(prev)
+        leaves = jax.tree_util.tree_leaves_with_path(re_cal["act_scales"])
+        assert any("ymax" in str(p) for p, _ in leaves)
+        # running maxima survive the union (2x input dominates)
+        def f(vv, xx):
+            with quantized("int8"):
+                return net.apply(vv, xx)
+
+        out = jax.jit(f)(re_cal, x)
+        for t in jax.tree_util.tree_leaves(out):
+            assert np.isfinite(np.asarray(t, np.float32)).all()
