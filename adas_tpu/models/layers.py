@@ -564,7 +564,7 @@ class ConvBN(nn.Module):
             return fused_stem(
                 x.data.astype(pdtype), kernel.astype(pdtype), gain, fbias,
                 logical_hw=(x.shape[1], x.shape[2]), pool=False,
-                act=act_name, out_dtype=pdtype,
+                act=act_name, out_dtype=pdtype, expect_margins=x.margins,
             )
         if polyphase_ok:
             x = PolyphaseStemConv(

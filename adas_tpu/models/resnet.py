@@ -216,7 +216,7 @@ class ResNetFeatures(nn.Module):
             x = fused_stem(
                 x.data.astype(pdtype), kernel.astype(pdtype), gain,
                 fbias, logical_hw=(x.shape[1], x.shape[2]), pool=True,
-                act="relu", out_dtype=pdtype,
+                act="relu", out_dtype=pdtype, expect_margins=x.margins,
             )
         else:
             # under int8 the net's declared dtype stays f32 (convs lower

@@ -306,7 +306,6 @@ def _stem_call_impl(
             band = cand
             break
     rows_in = (2 * band + na) if pool else (band + na - 1)
-    wo = ws // 2 if pool else ws
     kernel, wl, wo = _stem_kernel(
         cs2d=cs2d, na=na, nb=nb, feat=feat, hs=hs, ws=ws, band=band,
         pool=pool, act=act, out_dtype=out_dtype,
@@ -352,7 +351,13 @@ def _stem_compile_ok(
     """Compile-probe the Pallas stem for one exact serving config on the
     real TPU backend (AOT lower+compile, no execution, cached).  A
     Mosaic lowering regression (op support, layout, VMEM) must degrade
-    serving to the XLA chain — never crash the pipeline build."""
+    serving to the XLA chain — never crash the pipeline build.
+
+    Scope caveat: under the multistream vmap the probe sees the
+    PER-EXAMPLE planes shape; the custom_vmap rule then folds the
+    stream axis into grid dim 0 (same per-step program, more grid
+    iterations), so a failure that only reproduces at the larger grid
+    would not be caught here."""
     try:
         cdtype = jnp.dtype(cdtype_str)
         odtype = jnp.dtype(odtype_str)
@@ -413,6 +418,7 @@ def fused_stem(
     pool: bool,
     act: Optional[str],
     out_dtype=jnp.bfloat16,
+    expect_margins=None,
 ) -> jnp.ndarray:
     """Run the fused stem on S2DPlanes data.
 
@@ -430,6 +436,16 @@ def fused_stem(
     hs, ws = h // 2, w // 2
     na, nb, pad_a, pad_b = polyphase_tap_params(kh, kw)
     (mt, mb), (ml, mr) = stem_margins(kh, kw, pool)
+    if expect_margins is not None and tuple(
+        tuple(m) for m in expect_margins
+    ) != ((mt, mb), (ml, mr)):
+        # a margin SPLIT that disagrees with stem_margins can pass the
+        # total-shape check below but shifts every conv window — always
+        # a build bug, never silently servable
+        raise ValueError(
+            f"S2DPlanes margins {expect_margins} != "
+            f"{((mt, mb), (ml, mr))} required for k={kh}x{kw} pool={pool}"
+        )
     exp = (planes_data.shape[0], hs + mt + mb, 4 * cin, ws + ml + mr)
     if tuple(planes_data.shape) != exp:
         raise ValueError(
@@ -441,6 +457,12 @@ def fused_stem(
     bias = jnp.asarray(bias, jnp.float32).reshape(1, feat)
     interpret = jax.default_backend() != "tpu"
     use_kernel = os.environ.get("ADAS_DISABLE_PALLAS_STEM") != "1"
+    if pool and (act != "relu" or hs % 2 or ws % 2):
+        # the kernel realizes the maxpool's -inf padding as zeros (only
+        # exact post-ReLU) and computes ho = hs//2 (nn.max_pool emits
+        # ceil(hs/2) rows for odd hs) — both cases serve the exact XLA
+        # chain instead
+        use_kernel = False
     if use_kernel and not interpret:
         use_kernel = _stem_compile_ok(
             tuple(planes_data.shape), jnp.dtype(compute_dtype).name,

@@ -147,12 +147,22 @@ class MultiStreamADAS:
         )
         # Pallas fused stem (ops/pallas_stem.py): nets that declare halo
         # margins take S2DPlanes instead — conv+BN+act(+pool) run in one
-        # kernel and the full-res stem activation never touches HBM
+        # kernel and the full-res stem activation never touches HBM.
+        # NOT under a multi-device mesh: GSPMD has no partitioning rule
+        # for the Mosaic custom call, so a data-sharded step would
+        # either fail to partition or replicate the whole stream batch;
+        # the planar s2d path (plain XLA) shards fine and keeps most of
+        # the preprocess win.
+        multi_dev = self.mesh is not None and self.mesh.size > 1
         planes_y = (
-            getattr(ynet, "stem_planes_margins", None) if s2d_y else None
+            getattr(ynet, "stem_planes_margins", None)
+            if s2d_y and not multi_dev
+            else None
         )
         planes_l = (
-            getattr(lnet, "stem_planes_margins", None) if s2d_l else None
+            getattr(lnet, "stem_planes_margins", None)
+            if s2d_l and not multi_dev
+            else None
         )
 
         device_kf = self.device_kf

@@ -47,6 +47,16 @@ def _planes_from_nhwc(x_nhwc, margins):
         (3, False, "silu", (64, 96)),  # the YOLO stem
         (7, True, "relu", (80, 80)),
         (3, False, None, (32, 64)),
+        # multi-band grids (nbands > 1): the bi-dependent DMA offsets
+        # and band-edge masking that the real serving shapes use
+        # (CULane hs=160 -> band 16, 5 bands) are otherwise untested
+        (3, False, "silu", (128, 64)),  # ho=64, band=32, 2 bands
+        (7, True, "relu", (256, 64)),  # ho=64, band=32, 2 bands, pooled
+        # unsound-for-the-kernel pool combos: routed to the XLA chain
+        # (zero-realized -inf padding is only exact post-ReLU; odd hs
+        # pools to ceil(hs/2) rows) — parity must still hold
+        (7, True, "silu", (64, 160)),
+        (7, True, "relu", (66, 160)),
     ],
 )
 def test_fused_stem_matches_xla_chain(kk, pool, act, hw):
@@ -172,3 +182,25 @@ def test_ufld_planes_emission_matches_s2d():
     np.testing.assert_allclose(
         got[:, 3 : 3 + hs, :, 3 : 3 + ws], want, atol=1e-6
     )
+
+
+def test_fused_stem_rejects_mismatched_margins():
+    """A margin SPLIT that disagrees with stem_margins but matches the
+    total padded shape would silently shift every conv window —
+    fused_stem cross-checks the S2DPlanes' own margins field."""
+    rng = np.random.default_rng(3)
+    h, w = 64, 96
+    x = rng.standard_normal((1, h, w, 3)).astype(np.float32)
+    good = stem_margins(3, 3, False)
+    (mt, mb), (ml, mr) = good
+    bad = ((mb, mt), (ml, mr)) if mt != mb else ((mt, mb), (mr, ml))
+    assert bad != good
+    planes = _planes_from_nhwc(x, bad)
+    k = (rng.standard_normal((3, 3, 3, 8)) * 0.1).astype(np.float32)
+    with pytest.raises(ValueError, match="margins"):
+        fused_stem(
+            planes.data, jnp.asarray(k), np.ones(8, np.float32),
+            np.zeros(8, np.float32), logical_hw=(h, w), pool=False,
+            act="silu", out_dtype=jnp.float32,
+            expect_margins=planes.margins,
+        )

@@ -28,8 +28,15 @@ rng = np.random.default_rng(0)
 def chain_time(fn, *args):
     def probe(*a):
         def body(i, s):
-            out = fn(*a)
-            return s + jnp.sum(out[:, ::64, ::64, :].astype(jnp.float32)) * 1e-6 + i * 0.0
+            # feed the carry back into the input: a loop-invariant body
+            # would let XLA hoist the XLA-chain variant out of the loop
+            # (LICM) while the Pallas custom call stays inside, biasing
+            # the comparison by up to ITERS x
+            # (x*0 would be algebraically folded away; 1e-30 is below
+            # bf16 resolution so the values are unchanged)
+            a0 = a[0] + (s * 1e-30).astype(a[0].dtype)
+            out = fn(a0, *a[1:])
+            return s + jnp.sum(out[:, ::64, ::64, :].astype(jnp.float32)) * 1e-6
 
         return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
 
