@@ -452,6 +452,30 @@ class _StemKernelParam(nn.Module):
         )
 
 
+def consume_planes_stem(
+    x, features: int, kernel_size: Tuple[int, int], *,
+    conv_name: str, bn_name: str, act: Optional[str], pool: bool, dtype,
+):
+    """S2DPlanes fused-stem consumption shared by :class:`ConvBN` and
+    ``resnet.ResNetFeatures`` (one definition so the epsilon/dtype/
+    margins plumbing cannot drift between the two stems).  Creates the
+    checkpoint-compatible parameters (``{conv_name}/kernel`` +
+    ``{bn_name}`` BatchNorm tree) and runs ops/pallas_stem.fused_stem.
+    Must execute inside the caller's ``@nn.compact`` scope."""
+    from ..ops.pallas_stem import fused_stem
+
+    kernel = _StemKernelParam(features, kernel_size, name=conv_name)(
+        x.shape[-1]
+    )
+    gain, fbias = BNFoldParams(epsilon=1e-5, name=bn_name)(features)
+    pdtype = dtype or jnp.promote_types(x.dtype, kernel.dtype)
+    return fused_stem(
+        x.data.astype(pdtype), kernel.astype(pdtype), gain, fbias,
+        logical_hw=(x.shape[1], x.shape[2]), pool=pool, act=act,
+        out_dtype=pdtype, expect_margins=x.margins,
+    )
+
+
 class ConvBN(nn.Module):
     """Conv2D + BatchNorm + activation, the universal CNN cell."""
 
@@ -552,19 +576,9 @@ class ConvBN(nn.Module):
                 act_name = None
             else:
                 raise ValueError("unsupported activation for fused stem")
-            from ..ops.pallas_stem import fused_stem
-
-            kernel = _StemKernelParam(
-                self.features, self.kernel, name="conv"
-            )(x.shape[-1])
-            gain, fbias = BNFoldParams(epsilon=1e-5, name="bn")(
-                self.features
-            )
-            pdtype = dtype or jnp.promote_types(x.dtype, kernel.dtype)
-            return fused_stem(
-                x.data.astype(pdtype), kernel.astype(pdtype), gain, fbias,
-                logical_hw=(x.shape[1], x.shape[2]), pool=False,
-                act=act_name, out_dtype=pdtype, expect_margins=x.margins,
+            return consume_planes_stem(
+                x, self.features, self.kernel, conv_name="conv",
+                bn_name="bn", act=act_name, pool=False, dtype=dtype,
             )
         if polyphase_ok:
             x = PolyphaseStemConv(

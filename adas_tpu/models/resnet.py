@@ -200,23 +200,14 @@ class ResNetFeatures(nn.Module):
             # polyphase input the resize dots emit — the full-resolution
             # stem activation (131 MB bf16 for CULane x8) never touches
             # HBM.  Same parameter tree: conv1/kernel + bn1/{...}.
-            kernel = _layers._StemKernelParam(64, (7, 7), name="conv1")(
-                x.shape[-1]
-            )
-            gain, fbias = _layers.BNFoldParams(
-                epsilon=1e-5, name="bn1"
-            )(64)
             pdtype = (
                 jnp.bfloat16
                 if _layers._QUANT_MODE in _layers.INT8_MODES
                 else self.dtype
             )
-            from ..ops.pallas_stem import fused_stem
-
-            x = fused_stem(
-                x.data.astype(pdtype), kernel.astype(pdtype), gain,
-                fbias, logical_hw=(x.shape[1], x.shape[2]), pool=True,
-                act="relu", out_dtype=pdtype, expect_margins=x.margins,
+            x = _layers.consume_planes_stem(
+                x, 64, (7, 7), conv_name="conv1", bn_name="bn1",
+                act="relu", pool=True, dtype=pdtype,
             )
         else:
             # under int8 the net's declared dtype stays f32 (convs lower
