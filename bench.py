@@ -474,6 +474,15 @@ def main() -> None:
     enable_persistent_cache()
     if os.environ.get("JAX_PLATFORMS", "") != "cpu":
         wait_for_backend()
+    else:
+        # CPU-pinned smoke runs: keep the tunneled-TPU plugin from
+        # initializing in-process (it hangs when the tunnel is down and
+        # destabilizes the CPU backend — __graft_entry__.py pattern)
+        import jax
+        from jax._src import xla_bridge as _xb
+
+        _xb._backend_factories.pop("axon", None)
+        jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
 
