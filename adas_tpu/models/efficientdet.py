@@ -434,6 +434,12 @@ class EfficientDetSpec:
     num_classes: int = 90
     #: None -> zylo117 default (4.0; 5.0 for d7)
     anchor_scale: object = None
+    #: serve at a non-default square resolution (multiple of 128 so P7
+    #: stays integral); anchors rebuild to match.  The reference bakes
+    #: one size into each ONNX export — this is the TRT-style reshape
+    #: knob (coreEngine.py:120-157 loads whatever shape the engine was
+    #: built with).  None -> the compound's paper resolution.
+    input_size_override: object = None
 
     @property
     def config(self):
@@ -441,6 +447,14 @@ class EfficientDetSpec:
 
     @property
     def input_size(self) -> int:
+        if self.input_size_override is not None:
+            s = int(self.input_size_override)
+            if s % 128:
+                raise ValueError(
+                    f"input_size_override {s} not a multiple of 128 "
+                    "(P7 stride)"
+                )
+            return s
         return self.config[2]
 
     @property

@@ -529,6 +529,36 @@ def yolo_preprocess_planar(
     return _planar_to_nhwc(img)
 
 
+def imagenet_preprocess_planar(
+    bgr_chw: jnp.ndarray,
+    geom: LetterboxGeometry,
+    mean: Tuple[float, float, float] = IMAGENET_MEAN,
+    std: Tuple[float, float, float] = IMAGENET_STD,
+    dtype=jnp.float32,
+    swap_rb: bool = True,
+) -> jnp.ndarray:
+    """Planar-BGR counterpart of :func:`imagenet_preprocess`: letterbox
+    + ImageNet normalize in channel-major layout (W stays in the 128-lane
+    minor dim through the resize dots), NHWC transpose once at the end on
+    the model-input-sized tensor.  Serves EfficientDet in the batched
+    multi-stream pipeline's I420 transport (reference preprocess:
+    ObjectDetector/efficientdetDetector.py:57-65)."""
+    newh, neww = geom.new_shape
+    padh, padw = geom.pad
+    img = resize_bilinear_planar(bgr_chw.astype(jnp.float32), newh, neww)
+    pads = [(0, 0)] * (img.ndim - 2) + [
+        (padh, geom.dst_h - newh - padh),
+        (padw, geom.dst_w - neww - padw),
+    ]
+    img = jnp.pad(img, pads, constant_values=PAD_VALUE)
+    if swap_rb:
+        img = img[..., ::-1, :, :]
+    mean_a = jnp.asarray(mean, jnp.float32)[:, None, None] * 255.0
+    std_a = jnp.asarray(std, jnp.float32)[:, None, None] * 255.0
+    out = ((img - mean_a) / std_a).astype(dtype)
+    return _planar_to_nhwc(out)
+
+
 def ufld_v2_preprocess_planar(
     bgr_chw: jnp.ndarray,
     input_h: int,

@@ -34,6 +34,9 @@ class EfficientdetDetector(ObjectDetectBase):
         "box_nms_iou": 0.5,
         "compound": 0,
         "max_det": 100,
+        # serve at a non-default square resolution (multiple of 128);
+        # None keeps the compound's paper size
+        "input_size": None,
         # "int8" runs trunk/BiFPN/head convs as W8A8 int8 MXU convs
         # (models/efficientdet._conv_same); headers stay f32
         "compute_dtype": None,
@@ -75,6 +78,7 @@ class EfficientdetDetector(ObjectDetectBase):
             self.spec = EfficientDetSpec(
                 compound=int(getattr(self, "compound", 0)),
                 num_classes=num_classes,
+                input_size_override=getattr(self, "input_size", None),
             )
             self.net = EfficientDet(self.spec)
             self.variables = self._load_weights(ckpt_state)

@@ -23,6 +23,8 @@ from ..ops.preprocess import (
     bgr_to_i420,
     i420_to_bgr,
     i420_to_bgr_planar,
+    imagenet_preprocess,
+    imagenet_preprocess_planar,
     ufld_v2_preprocess,
     ufld_v2_preprocess_planar,
     ufld_v2_preprocess_planes,
@@ -67,7 +69,18 @@ class FusedADASStep:
 
     def _build(self, src_shape: Tuple[int, int]):
         yolo, lane = self.yolo, self.lane
-        h, w = yolo.spec.input_size
+        # object side accepts YoloDetector OR EfficientdetDetector (the
+        # reference demo's two interchangeable detectors,
+        # efficientdetDetector.py:38-83) — see multistream.py
+        from ..utils.types import ObjectModelType
+
+        is_effdet = (
+            getattr(yolo, "model_type", None) is ObjectModelType.EfficientDet
+        )
+        if is_effdet:
+            h = w = int(yolo.spec.input_size)
+        else:
+            h, w = yolo.spec.input_size
         geom = LetterboxGeometry(src_shape[0], src_shape[1], h, w)
         yspec = yolo.spec
         lspec = lane.spec
@@ -100,6 +113,7 @@ class FusedADASStep:
         # emitting the stems' polyphase layout skips two HBM passes)
         s2d_y = (
             transport == "i420"
+            and not is_effdet
             and getattr(ynet, "stem_s2d_ok", False)
             and h % 2 == 0 and w % 2 == 0
         )
@@ -135,7 +149,11 @@ class FusedADASStep:
                     )
                 else:
                     bgr_p = i420_to_bgr_planar(frame_in, src_h, src_w)
-                    if planes_y:
+                    if is_effdet:
+                        x = imagenet_preprocess_planar(
+                            bgr_p[None], geom, dtype=in_dtype
+                        )
+                    elif planes_y:
                         x = yolo_preprocess_planes(
                             bgr_p[None], geom, dtype=in_dtype,
                             margins=planes_y,
@@ -146,20 +164,40 @@ class FusedADASStep:
                         )
             else:
                 frame_bgr = frame_in
-                x = yolo_preprocess(frame_bgr[None], geom, dtype=in_dtype)
+                if is_effdet:
+                    x = imagenet_preprocess(
+                        frame_bgr[None], geom, dtype=in_dtype
+                    )
+                else:
+                    x = yolo_preprocess(
+                        frame_bgr[None], geom, dtype=in_dtype
+                    )
             # trace-time int8 lowering, like the facades' own DetectFrame
             # and multistream: packed int8 kernels MUST go through the
             # Int8Conv/Int8Dense path (promoting them as plain params
             # would misread the quantized integers as weights)
             with quantized("int8") if yolo_quant else contextlib.nullcontext():
-                raw = ynet.apply(yolo_vars, x)[0].astype(jnp.float32)
-            boxes, scores, ids = decode_predictions(
-                raw, model_type, yspec.num_classes, yspec.input_size
-            )
-            dets = select_and_nms(
-                boxes, scores, ids, box_score=box_score,
-                iou_threshold=iou, max_det=max_det,
-            )
+                if is_effdet:
+                    eboxes, cls_probs = ynet.apply(yolo_vars, x)
+                    raw = None
+                else:
+                    raw = ynet.apply(yolo_vars, x)[0].astype(jnp.float32)
+            if is_effdet:
+                dets = select_and_nms(
+                    eboxes[0].astype(jnp.float32),
+                    jnp.max(cls_probs[0].astype(jnp.float32), axis=-1),
+                    jnp.argmax(cls_probs[0], axis=-1),
+                    box_score=box_score, iou_threshold=iou,
+                    max_det=max_det,
+                )
+            else:
+                boxes, scores, ids = decode_predictions(
+                    raw, model_type, yspec.num_classes, yspec.input_size
+                )
+                dets = select_and_nms(
+                    boxes, scores, ids, box_score=box_score,
+                    iou_threshold=iou, max_det=max_det,
+                )
             dets = detections_to_original(dets, geom)
 
             if transport == "i420" and planes_y and planes_l:

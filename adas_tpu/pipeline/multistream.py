@@ -28,6 +28,8 @@ from ..ops.preprocess import (
     bgr_to_i420,
     i420_to_bgr,
     i420_to_bgr_planar,
+    imagenet_preprocess,
+    imagenet_preprocess_planar,
     ufld_v2_preprocess,
     ufld_v2_preprocess_planar,
     ufld_v2_preprocess_planes,
@@ -104,7 +106,20 @@ class MultiStreamADAS:
     def _build(self):
         yolo, lane = self.yolo, self.lane
         src_h, src_w = self.dev_hw
-        h, w = yolo.spec.input_size
+        # the object side accepts YoloDetector OR EfficientdetDetector
+        # (BASELINE config 5 names both; reference demo swaps them via
+        # ObjectDetector/efficientdetDetector.py:38-83) — EfficientDet
+        # letterboxes to a square input and decodes anchors+sigmoid
+        # instead of the YOLO head decode
+        from ..utils.types import ObjectModelType
+
+        is_effdet = (
+            getattr(yolo, "model_type", None) is ObjectModelType.EfficientDet
+        )
+        if is_effdet:
+            h = w = int(yolo.spec.input_size)
+        else:
+            h, w = yolo.spec.input_size
         geom = LetterboxGeometry(src_h, src_w, h, w)
         yspec, lspec = yolo.spec, lane.spec
         box_score = float(yolo.box_score)
@@ -135,6 +150,7 @@ class MultiStreamADAS:
         # when the net declares support and target dims are even
         s2d_y = (
             self.transport == "i420"
+            and not is_effdet
             and getattr(ynet, "stem_s2d_ok", False)
             and h % 2 == 0
             and w % 2 == 0
@@ -169,7 +185,7 @@ class MultiStreamADAS:
         # v10 one-to-one head: serve NMS-free (BASELINE config 5), same
         # branch the single-frame facade takes (object_detector.py)
         nms_free = bool(getattr(yolo, "nms_free", False))
-        if nms_free and yspec.family != "v10":
+        if nms_free and getattr(yspec, "family", None) != "v10":
             raise ValueError("nms_free serving requires a YOLOv10 model")
 
         def one(yolo_vars, lane_vars, frame_in, kf_means=None, kf_covs=None):
@@ -196,7 +212,11 @@ class MultiStreamADAS:
                     )
                 else:
                     bgr_p = i420_to_bgr_planar(frame_in, src_h, src_w)
-                    if planes_y:
+                    if is_effdet:
+                        x = imagenet_preprocess_planar(
+                            bgr_p[None], geom, dtype=in_dtype
+                        )
+                    elif planes_y:
                         x = yolo_preprocess_planes(
                             bgr_p[None], geom, dtype=in_dtype,
                             margins=planes_y,
@@ -207,8 +227,31 @@ class MultiStreamADAS:
                         )
             else:
                 frame_bgr = frame_in
-                x = yolo_preprocess(frame_bgr[None], geom, dtype=in_dtype)
-            if nms_free:
+                if is_effdet:
+                    x = imagenet_preprocess(
+                        frame_bgr[None], geom, dtype=in_dtype
+                    )
+                else:
+                    x = yolo_preprocess(
+                        frame_bgr[None], geom, dtype=in_dtype
+                    )
+            if is_effdet:
+                # anchors + per-class sigmoid are decoded inside the net
+                # (models/efficientdet.py); score/argmax + fixed-shape
+                # NMS match the facade's own step
+                # (perception/efficientdet_detector.py:_build_step)
+                with quant:
+                    eboxes, cls_probs = ynet.apply(yolo_vars, x)
+                eboxes = eboxes[0].astype(jnp.float32)
+                cls_probs = cls_probs[0].astype(jnp.float32)
+                dets = select_and_nms(
+                    eboxes,
+                    jnp.max(cls_probs, axis=-1),
+                    jnp.argmax(cls_probs, axis=-1),
+                    box_score=box_score, iou_threshold=iou,
+                    max_det=max_det,
+                )
+            elif nms_free:
                 with quant:
                     dets = ynet.apply(yolo_vars, x, method=ynet.one2one)[0]
                 dets = dets.astype(jnp.float32)

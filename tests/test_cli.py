@@ -10,6 +10,7 @@ def _run_main(module, argv, monkeypatch):
     module.main()
 
 
+@pytest.mark.slow
 def test_build_engine_cli(tmp_path, monkeypatch, capsys):
     from adas_tpu.tools import build_engine
 
@@ -76,6 +77,7 @@ def test_torch_import_cli(tmp_path, monkeypatch):
     assert "cls_fc1" in variables["params"]
 
 
+@pytest.mark.slow
 def test_quantize_cli_calibrate(tmp_path, monkeypatch):
     """--calibrate MODEL bakes static act_scales into the int8 store."""
     import jax

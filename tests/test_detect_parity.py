@@ -25,6 +25,8 @@ from tests.torch_nets_detect import (
     TorchYOLOv7,
 )
 
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject markers)
+
 
 def _randomize(model: nn.Module, seed: int = 0) -> None:
     """Non-trivial weights + BN affine/stats for a real eval-mode test."""
@@ -54,6 +56,43 @@ def _rel_err(a: np.ndarray, b: np.ndarray) -> float:
     return float(
         np.abs(a - b).max() / max(np.abs(b).max(), 1e-9)
     )
+
+
+#: Per-family activation-parity tolerances (torch f32 vs XLA-CPU f32).
+#: A single blanket bound hides regressions: a conv-only family whose
+#: honest drift is ~1e-7 could silently degrade three decades before
+#: tripping a 5e-4 gate.  Bounds are set per numerics class at ~5-50x the
+#: measured drift of the current implementations (ADAS_PARITY_REPORT=1
+#: prints measurements; 2026-08 run recorded in each entry):
+#:   * conv_only (v5 1.1e-7, v5lite 1.1e-7, v6 n/s 1.7e-7, v7 2.2e-7,
+#:     v9c 9.5e-8): pure f32 conv/BN rollups; cross-framework conv-
+#:     algorithm reassociation stays ~1e-7 at these depths -> 1e-5 gate
+#:     (~50x margin).
+#:   * softmax_head (v8 1.3e-7, v10n 8.5e-5, v6m 1.2e-7, v6l 1.7e-5):
+#:     DFL softmax(16-bin) expectation / PSA attention mix exp+normalize
+#:     into the box path -> 5e-4 gate (~6x over the worst member).
+#:   * exp_decode (d0 cls 2.7e-4, boxes 5.8e-5): exp() in the zylo117
+#:     box decode amplifies regressor drift multiplicatively through a
+#:     16-block residual stack -> 1e-3 gate (~4x margin; semantic bugs
+#:     measured 8e-2 during development, two decades above).
+PARITY_TOL = {
+    "conv_only": 1e-5,
+    "softmax_head": 5e-4,
+    "exp_decode": 1e-3,
+}
+
+
+def assert_parity(out: np.ndarray, ref: np.ndarray, path: str, tag: str):
+    """Assert activation parity under the PARITY_TOL entry for ``path``;
+    with ADAS_PARITY_REPORT=1 also print the measured drift so the
+    table's margins stay auditable."""
+    import os
+
+    assert out.shape == ref.shape
+    err = _rel_err(out, ref)
+    if os.environ.get("ADAS_PARITY_REPORT"):
+        print(f"PARITY {tag}: rel_err={err:.3e} tol={PARITY_TOL[path]:.0e}")
+    assert err < PARITY_TOL[path], (tag, err, path)
 
 
 class TestYoloV6Parity:
@@ -86,8 +125,10 @@ class TestYoloV6Parity:
                 variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
             )
         )
-        assert out.shape == ref.shape
-        assert _rel_err(out, ref) < 5e-4
+        path = (
+            "softmax_head" if scale in _V6_CSP_SCALES else "conv_only"
+        )
+        assert_parity(out, ref, path, f"v6{scale}")
 
 
 class TestYoloV7Parity:
@@ -112,8 +153,7 @@ class TestYoloV7Parity:
                 variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
             )
         )
-        assert out.shape == ref.shape
-        assert _rel_err(out, ref) < 5e-4
+        assert_parity(out, ref, "conv_only", "v7")
 
 
 def _zylo_anchors(input_size: int, anchor_scale: float = 4.0) -> np.ndarray:
@@ -207,13 +247,10 @@ class TestEfficientDetParity:
             variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
         )
         boxes, probs = np.asarray(boxes), np.asarray(probs)
-        # 5e-4: torch's in-process conv-algorithm selection shifts f32
-        # rollups by ~1e-4 through this depth (semantic bugs measured
-        # 8e-2 during development — two orders of magnitude away)
-        assert probs.shape == cls_ref.numpy().shape
-        assert _rel_err(probs, cls_ref.numpy()) < 5e-4
-        assert boxes.shape == boxes_ref.shape
-        assert _rel_err(boxes, boxes_ref) < 5e-4
+        # exp_decode: semantic bugs measured 8e-2 during development —
+        # two orders of magnitude above the gate
+        assert_parity(probs, cls_ref.numpy(), "exp_decode", "d0:cls")
+        assert_parity(boxes, boxes_ref, "exp_decode", "d0:boxes")
 
 
 class TestYoloV8Parity:
@@ -245,8 +282,7 @@ class TestYoloV8Parity:
                 variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
             )
         )
-        assert out.shape == ref.shape
-        assert _rel_err(out, ref) < 5e-4
+        assert_parity(out, ref, "softmax_head", f"v8{scale}")
 
 
 class TestYoloV5Parity:
@@ -275,8 +311,7 @@ class TestYoloV5Parity:
                 variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
             )
         )
-        assert out.shape == ref.shape
-        assert _rel_err(out, ref) < 5e-4
+        assert_parity(out, ref, "conv_only", "v5n")
 
 
 class TestYoloV10Parity:
@@ -309,10 +344,9 @@ class TestYoloV10Parity:
             lambda v, xi: net.apply(v, xi, method=net.both)
         )(variables, xj)
         raw = np.asarray(raw)
-        assert raw.shape == raw_ref.shape
-        # 5e-4: the PSA softmax chain adds a little more f32 drift than
-        # the pure conv stacks (semantic bugs measure in percent)
-        assert _rel_err(raw, raw_ref) < 5e-4
+        # the PSA attention softmax + DFL head put v10 in the
+        # softmax_head tolerance class
+        assert_parity(raw, raw_ref, "softmax_head", "v10n")
 
         # o2o: reproduce the JAX top-k selection from the torch tensors
         scores_ref, ids_ref = cls_o.max(-1)
@@ -370,8 +404,7 @@ class TestYoloV9Parity:
                 variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
             )
         )
-        assert out.shape == ref.shape
-        assert _rel_err(out, ref) < 5e-4
+        assert_parity(out, ref, "conv_only", "v9c")
 
 
 class TestYoloV5LiteParity:
@@ -405,5 +438,4 @@ class TestYoloV5LiteParity:
                 variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
             )
         )
-        assert out.shape == ref.shape
-        assert _rel_err(out, ref) < 5e-4
+        assert_parity(out, ref, "conv_only", f"v5lite{scale}")

@@ -41,6 +41,7 @@ def test_decode_boxes_identity_and_shift():
     np.testing.assert_allclose(boxes[0], [0, 16, 32, 48], atol=1e-4)
 
 
+@pytest.mark.slow
 def test_efficientnet_feature_strides():
     net = EfficientNetFeatures()
     x = jnp.zeros((1, 128, 128, 3))
@@ -52,6 +53,7 @@ def test_efficientnet_feature_strides():
     assert c3.shape[-1] == 40 and c4.shape[-1] == 112 and c5.shape[-1] == 320
 
 
+@pytest.mark.slow
 def test_efficientdet_d0_output_shapes():
     spec = EfficientDetSpec(compound=0, num_classes=12)
     net = EfficientDet(spec)
@@ -211,6 +213,7 @@ def test_compound_table_d0_d7():
     assert _D_CONFIGS[6][3:] == (384, 8, 5)
 
 
+@pytest.mark.slow
 def test_d3_graph_builds_and_runs_small():
     """The scaled trunk/fpn/head wiring is valid beyond d2 (tiny input —
     anchors are computed from the traced shape, not spec.input_size)."""

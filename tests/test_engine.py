@@ -79,6 +79,7 @@ class TestParamsIO:
         np.testing.assert_array_equal(back["a"]["c"]["d"], np.array([2.0]))
 
 
+@pytest.mark.slow
 def test_registry_builds_all_names():
     import jax
     import jax.numpy as jnp

@@ -1,11 +1,14 @@
 """Fused dual-model step tests: results match the separate per-model
 paths, and submit/fetch pipelining preserves ordering."""
 import numpy as np
+import pytest
 
 from adas_tpu.perception.lane_detector import UltrafastLaneDetectorV2
 from adas_tpu.perception.object_detector import YoloDetector
 from adas_tpu.pipeline.fused import FusedADASStep
 from adas_tpu.utils.types import LaneModelType, ObjectModelType
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject markers)
 
 
 def _make_pair():
@@ -120,3 +123,29 @@ def test_fused_i420_frame_reconstruction_close():
     cv_err = np.abs(cv_back.astype(np.float32) - frame.astype(np.float32))
     assert err.mean() <= cv_err.mean() + 0.05
     assert np.quantile(err, 0.99) <= np.quantile(cv_err, 0.99) + 1
+
+
+def test_fused_step_efficientdet():
+    """FusedADASStep's object side accepts EfficientdetDetector (the
+    reference demo's alternative detector) and matches its facade."""
+    from adas_tpu.perception.efficientdet_detector import (
+        EfficientdetDetector,
+    )
+
+    eff = EfficientdetDetector(
+        model_path=None, compound=0, input_size=128, box_score=0.05,
+    )
+    lane = UltrafastLaneDetectorV2(
+        model_path=None, model_type=LaneModelType.UFLDV2_TUSIMPLE
+    )
+    fused = FusedADASStep(eff, lane)
+    frame = np.random.default_rng(7).integers(
+        0, 255, (180, 320, 3), dtype=np.uint8
+    )
+    fused.run(frame)
+    got = [(o.label, round(o.conf, 5)) for o in eff.object_info]
+    assert lane.lane_info is not None
+
+    eff.DetectFrame(frame)
+    want = [(o.label, round(o.conf, 5)) for o in eff.object_info]
+    assert got == want and len(want) > 0

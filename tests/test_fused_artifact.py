@@ -16,6 +16,8 @@ from adas_tpu.perception.lane_detector import UltrafastLaneDetectorV2
 from adas_tpu.perception.object_detector import YoloDetector
 from adas_tpu.utils.types import LaneModelType, ObjectModelType
 
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject markers)
+
 
 @pytest.fixture(scope="module")
 def frame():

@@ -17,6 +17,8 @@ from adas_tpu.models.yolo import YoloSpec, build_yolo
 from adas_tpu.perception.object_detector import YoloDetector
 from adas_tpu.utils.types import ObjectModelType
 
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject markers)
+
 
 class TestInt8Conv:
     def test_matches_dequantized_torch_conv(self, rng):

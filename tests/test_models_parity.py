@@ -24,6 +24,8 @@ from torch_nets import (  # noqa: E402
     randomize_bn_stats,
 )
 
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject markers)
+
 
 def state_to_numpy(model):
     return {k: v.detach().numpy() for k, v in model.state_dict().items()}

@@ -1,11 +1,14 @@
 """Multi-stream DP pipeline test on the virtual 8-device CPU mesh."""
 import numpy as np
+import pytest
 
 from adas_tpu.parallel import make_mesh
 from adas_tpu.perception.lane_detector import UltrafastLaneDetectorV2
 from adas_tpu.perception.object_detector import YoloDetector
 from adas_tpu.pipeline.multistream import MultiStreamADAS
 from adas_tpu.utils.types import LaneModelType, ObjectModelType
+
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject markers)
 
 
 def test_multistream_batch_over_mesh():
@@ -205,3 +208,65 @@ def test_multistream_nms_free_v10():
         (o.tolist(), round(o.conf, 5)) for o in results[0]["objects"]
     ]
     assert single == batched
+
+
+def test_multistream_efficientdet_batched():
+    """BASELINE config 5 as written: EfficientDet in the batched
+    multi-stream step (reference's interchangeable second detector,
+    ObjectDetector/efficientdetDetector.py:38-83).  The batched bgr-path
+    detections must equal the facade's own DetectFrame."""
+    from adas_tpu.perception.efficientdet_detector import (
+        EfficientdetDetector,
+    )
+
+    eff = EfficientdetDetector(
+        model_path=None, compound=0, input_size=128, box_score=0.05,
+    )
+    lane = UltrafastLaneDetectorV2(
+        model_path=None, model_type=LaneModelType.UFLDV2_TUSIMPLE
+    )
+    ms = MultiStreamADAS(eff, lane, 2, frame_hw=(180, 320), mesh=None)
+    frames = np.random.default_rng(4).integers(
+        0, 255, (2, 180, 320, 3), dtype=np.uint8
+    )
+    results = ms.process_batch(frames)
+    assert len(results) == 2
+    for r in results:
+        assert {"objects", "tracks", "collision", "offset"} <= set(r)
+
+    eff.DetectFrame(frames[0])
+    single = [(o.label, round(o.conf, 5)) for o in eff.object_info]
+    batched = [
+        (o.label, round(o.conf, 5)) for o in results[0]["objects"]
+    ]
+    assert single == batched
+    assert len(single) > 0  # the scenario actually detects something
+
+    # i420 transport: chroma subsampling perturbs values slightly but the
+    # pipeline must serve end to end
+    ms2 = MultiStreamADAS(
+        eff, lane, 2, frame_hw=(180, 320), mesh=None, transport="i420"
+    )
+    r2 = ms2.process_batch(frames)
+    assert len(r2) == 2
+
+
+def test_multistream_efficientdet_over_mesh():
+    """EfficientDet DP-shards over the 8-virtual-device mesh like YOLO."""
+    from adas_tpu.perception.efficientdet_detector import (
+        EfficientdetDetector,
+    )
+
+    eff = EfficientdetDetector(
+        model_path=None, compound=0, input_size=128, box_score=0.05,
+    )
+    lane = UltrafastLaneDetectorV2(
+        model_path=None, model_type=LaneModelType.UFLDV2_TUSIMPLE
+    )
+    mesh = make_mesh(8, model_parallel=1)
+    ms = MultiStreamADAS(eff, lane, 8, frame_hw=(180, 320), mesh=mesh)
+    frames = np.random.default_rng(6).integers(
+        0, 255, (8, 180, 320, 3), dtype=np.uint8
+    )
+    results = ms.process_batch(frames)
+    assert len(results) == 8

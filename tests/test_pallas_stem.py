@@ -15,6 +15,8 @@ from adas_tpu.models.layers import max_pool, polyphase_stride2_conv
 from adas_tpu.ops.pallas_stem import fused_stem, stem_margins
 from adas_tpu.ops.preprocess import S2DPlanes
 
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject markers)
+
 
 def _ref_chain(x_nhwc, k, gain, bias, act, pool):
     y = polyphase_stride2_conv(jnp.asarray(x_nhwc), jnp.asarray(k))

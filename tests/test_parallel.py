@@ -10,6 +10,8 @@ from adas_tpu.parallel import make_mesh
 from adas_tpu.parallel.sharding import tp_param_spec
 from jax.sharding import PartitionSpec as P
 
+pytestmark = pytest.mark.slow  # heavyweight tier (see pyproject markers)
+
 
 def test_make_mesh_shapes():
     mesh = make_mesh(8)

@@ -17,6 +17,8 @@ from adas_tpu.ops.preprocess import (
     bgr_to_i420,
     i420_to_bgr,
     i420_to_bgr_planar,
+    imagenet_preprocess,
+    imagenet_preprocess_planar,
     ufld_v2_preprocess,
     ufld_v2_preprocess_planar,
     yolo_preprocess,
@@ -47,6 +49,18 @@ def test_yolo_preprocess_planar_parity(frame):
     a = np.asarray(yolo_preprocess(bgr[None], geom))
     b = np.asarray(yolo_preprocess_planar(bgr_p[None], geom))
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_imagenet_preprocess_planar_parity(frame):
+    """EfficientDet's batched-serving preprocess: planar == channel-minor
+    (reference normalize: ObjectDetector/efficientdetDetector.py:57-65)."""
+    yuv = jnp.asarray(bgr_to_i420(frame))
+    bgr = i420_to_bgr(yuv, 108, 192)
+    bgr_p = i420_to_bgr_planar(yuv, 108, 192)
+    geom = LetterboxGeometry(108, 192, 128, 128)
+    a = np.asarray(imagenet_preprocess(bgr[None], geom))
+    b = np.asarray(imagenet_preprocess_planar(bgr_p[None], geom))
+    np.testing.assert_allclose(a, b, atol=1e-5)
 
 
 def test_ufld_preprocess_planar_parity(frame):
@@ -252,6 +266,7 @@ def test_planes_yuv_under_vmap(frame):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_multistream_i420_planar_end_to_end():
     """The fused multistream step serves the planar+s2d path: results
     carry the full per-stream contract and trackers advance."""

@@ -30,6 +30,7 @@ def test_yolo_output_contract(family, scale):
         assert out.shape == (1, n_anchors * 3, 5 + 7)
 
 
+@pytest.mark.slow
 def test_yolov10_dual_heads():
     spec = YoloSpec(family="v10", scale="n", num_classes=5, input_size=SMALL)
     net = YoloV10(spec, max_det=17)
@@ -164,6 +165,7 @@ class TestYoloDetectorFacade:
         assert det.object_info == []
 
 
+@pytest.mark.slow
 def test_yolov9_gelan_graph():
     """Native GELAN-C trunk emits the v8 output contract and runs through
     the detector facade."""
@@ -195,6 +197,7 @@ def test_yolov9_gelan_graph():
     assert isinstance(det.object_info, list)
 
 
+@pytest.mark.slow
 def test_v6_v7_native_facades(rng):
     """YOLOV6/YOLOV7 now build their real native graphs (EfficientRep /
     E-ELAN), not the v5 stand-in."""
@@ -219,6 +222,7 @@ def test_v6_v7_native_facades(rng):
     assert isinstance(d7.object_info, list)
 
 
+@pytest.mark.slow
 def test_v5lite_native_facade(rng):
     """YOLOV5_LITE builds the real ShuffleNetV2 graph whose output is
     PRE-grid (reference export contract) — the facade's

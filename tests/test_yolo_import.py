@@ -55,10 +55,16 @@ def _inverse_transform(dst_path, value):
     "family,scale",
     [
         ("v8", "n"), ("v5", "n"), ("v10", "n"), ("v10", "s"),
-        ("v10", "m"), ("v10", "x"),
-        ("v6", "n"), ("v6", "s"), ("v6", "m"), ("v6", "l"),
-        ("v7", "l"), ("v9", "c"),
-        ("v5lite", "e"), ("v5lite", "s"),
+        # big scales compile for minutes on the CPU test backend: slow
+        # tier only (the n/s scales keep the mapping machinery covered)
+        pytest.param("v10", "m", marks=pytest.mark.slow),
+        pytest.param("v10", "x", marks=pytest.mark.slow),
+        ("v6", "n"),
+        pytest.param("v6", "s", marks=pytest.mark.slow),
+        pytest.param("v6", "m", marks=pytest.mark.slow),
+        pytest.param("v6", "l", marks=pytest.mark.slow),
+        pytest.param("v7", "l", marks=pytest.mark.slow), ("v9", "c"),
+        pytest.param("v5lite", "e", marks=pytest.mark.slow), pytest.param("v5lite", "s", marks=pytest.mark.slow),
     ],
 )
 def test_mapping_covers_full_tree_and_roundtrips(family, scale):
