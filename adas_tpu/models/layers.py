@@ -41,6 +41,32 @@ INT8_MODES = ("int8", "int8_calib", "int8_pack")
 _S8_CHAIN = os.environ.get("ADAS_INT8_S8CHAIN", "1") != "0"
 
 
+#: trace-time serving-path counters (bench provenance): incremented as
+#: Python side effects while a jit traces the model, so after building/
+#: warming a pipeline they attribute exactly which paths the compiled
+#: graph contains.  Reset before tracing, read after (bench.py embeds
+#: them in the JSON — a headline number must be able to say which
+#: kernels actually served it).
+_TRACE_STATS = {
+    "int8_convs": 0,        # convs lowered W8A8 (Int8Conv)
+    "bf16_convs": 0,        # int8-mode convs kept bf16 by policy
+    "s8_emits": 0,          # epilogues emitting a chained s8 QTensor
+    "s8_consumes": 0,       # convs consuming a chained s8 input
+    "s8_group_concats": 0,  # concats performed in the s8 domain
+    "pallas_convs": 0,      # convs served by ops/pallas_conv.py
+    "int8_dense": 0,        # dense layers lowered W8A8
+}
+
+
+def reset_trace_stats() -> None:
+    for k in _TRACE_STATS:
+        _TRACE_STATS[k] = 0
+
+
+def trace_stats() -> dict:
+    return dict(_TRACE_STATS)
+
+
 def set_s8_chain(enabled: bool) -> None:
     """Enable/disable s8-chained activations (trace-time; jitted graphs
     bake the setting in, so flip BEFORE tracing).  The layer-chaining
@@ -75,6 +101,81 @@ class QTensor(NamedTuple):
         return (
             self.data.astype(jnp.float32) * self.scale
         ).astype(jnp.bfloat16)
+
+    def __getitem__(self, idx) -> "QTensor":
+        """Channel/spatial slicing stays in the s8 domain (per-tensor
+        scale is slice-invariant) — C2f's split-into-parts reads slices
+        of cv1's chained emission without dequantizing."""
+        return QTensor(self.data[idx], self.scale)
+
+
+def quantize_to(x: jnp.ndarray, scale: jnp.ndarray) -> QTensor:
+    """Explicit s8 quantize at a given static scale.  Used where a value
+    is produced OUTSIDE a conv epilogue (a residual add, a concat of
+    mixed producers) but its consumers read s8: XLA fuses this
+    elementwise chain into the producer fusion, so only the 1-byte
+    tensor lands in HBM."""
+    if isinstance(x, QTensor):
+        x = x.dequant()
+    _TRACE_STATS["s8_emits"] += 1
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale), -127, 127
+    ).astype(jnp.int8)
+    return QTensor(xq, scale)
+
+
+def s8_group_scale(mod: nn.Module):
+    """Serving-time unified activation scale for an s8 CONCAT GROUP —
+    TensorRT's int8 concat: every producer feeding one concatenate
+    quantizes with a single calibrated scale, the concat happens on
+    1-byte data, and the consumer conv reads it with no input quantize
+    (the reference's sketched whole-network int8 engine,
+    convertOnnxToTensorRT.py:28-99, keeps concats int8 the same way).
+    None unless serving calibrated int8 with chaining enabled."""
+    if (
+        _QUANT_MODE == "int8"
+        and _S8_CHAIN
+        and mod.has_variable("act_scales", "concat_xmax")
+    ):
+        return (
+            jnp.maximum(
+                mod.get_variable("act_scales", "concat_xmax"), 1e-12
+            )
+            / 127.0
+        )
+    return None
+
+
+def s8_group_record(mod: nn.Module, x) -> None:
+    """Calibration-time absmax of the concat group's value (call with
+    the CONCATENATED tensor inside the block that owns the group)."""
+    if _QUANT_MODE == "int8_calib" and _S8_CHAIN:
+        if isinstance(x, QTensor):  # pragma: no cover - calib emits bf16
+            x = x.dequant()
+        v = mod.variable(
+            "act_scales", "concat_xmax", lambda: jnp.zeros((), jnp.float32)
+        )
+        v.value = jnp.maximum(
+            v.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+        )
+
+
+def qconcat(parts, axis: int = -1):
+    """Concatenate an s8 group: all-QTensor parts (one shared scale by
+    construction) concatenate as int8 — half the HBM bytes of the bf16
+    concat and no downstream quantize; any bf16 member degrades the
+    whole group to the plain bf16 concat (the consumer then quantizes
+    dynamically or from its own calibrated xmax, unchanged)."""
+    if parts and all(isinstance(p, QTensor) for p in parts):
+        _TRACE_STATS["s8_group_concats"] += 1
+        return QTensor(
+            jnp.concatenate([p.data for p in parts], axis=axis),
+            parts[0].scale,
+        )
+    return jnp.concatenate(
+        [p.dequant() if isinstance(p, QTensor) else p for p in parts],
+        axis=axis,
+    )
 
 
 @contextlib.contextmanager
@@ -236,7 +337,12 @@ class Int8Conv(nn.Module):
         fold=None,
         act: Optional[Callable] = None,
         emit_q: bool = False,
+        emit_scale=None,
     ):
+        """``emit_scale``: externally-owned static output scale (an s8
+        concat group's unified scale, see :func:`s8_group_scale`) — the
+        epilogue quantizes with IT instead of this conv's own calibrated
+        ``ymax``, and no ymax is recorded (the group owner calibrates)."""
         kh, kw = self.kernel_size
         in_per_group = x.shape[-1] // self.feature_group_count
         kernel = self.param(
@@ -256,7 +362,10 @@ class Int8Conv(nn.Module):
         # same calibration pass that records "xmax") must exist
         want_emit = emit_q and _S8_CHAIN
         out_scale = None
-        if (
+        if emit_scale is not None and _QUANT_MODE == "int8" and _S8_CHAIN:
+            # concat-group emission: the group's unified scale wins
+            out_scale = emit_scale
+        elif (
             want_emit
             and _QUANT_MODE == "int8"
             and self.has_variable("act_scales", "ymax")
@@ -323,6 +432,7 @@ def int8_conv_apply(
         wq, wscale = wqparams
         wscale = wscale.reshape(-1)
     if isinstance(x, QTensor):
+        _TRACE_STATS["s8_consumes"] += 1
         xq, xscale = x.data, x.scale
     else:
         xf = x.astype(jnp.float32)
@@ -330,6 +440,12 @@ def int8_conv_apply(
             xmax = jnp.max(jnp.abs(xf))
             xscale = jnp.maximum(xmax, 1e-12) / 127.0
         xq = jnp.clip(jnp.round(xf / xscale), -127, 127).astype(jnp.int8)
+    pallas_y = _maybe_pallas_conv(
+        xq, wq, wscale, xscale, strides, padding, feature_group_count,
+        kernel_dilation, conv_bias, fold, act, out_scale,
+    )
+    if pallas_y is not None:
+        return pallas_y
     acc = jax.lax.conv_general_dilated(
         xq,
         wq,
@@ -359,6 +475,7 @@ def int8_conv_apply(
         # s8-chained emission: the requantize rides THIS conv's fused
         # epilogue and only the 1-byte tensor lands in HBM; the
         # consumer conv reads it with no input quantize at all
+        _TRACE_STATS["s8_emits"] += 1
         yq = jnp.clip(jnp.round(y / out_scale), -127, 127).astype(jnp.int8)
         return QTensor(yq, out_scale)
     if fold is not None:
@@ -366,6 +483,62 @@ def int8_conv_apply(
         # traffic vs f32 (the next conv's quantize and any residual/
         # concat consumers read 2 bytes, not 4); epilogue math stays f32
         y = y.astype(jnp.bfloat16)
+    return y
+
+
+def _maybe_pallas_conv(
+    xq, wq, wscale, xscale, strides, padding, groups, dilation,
+    conv_bias, fold, act, out_scale,
+):
+    """Route an eligible int8 conv to the fused Pallas kernel
+    (ops/pallas_conv.py): dense 3x3 / stride 1 / pad 1, silu/relu/None
+    activation, folded-BN epilogue.  Returns None (caller runs the XLA
+    conv) unless ADAS_PALLAS_CONV=1 AND the config matches AND the
+    kernel compile-probes on the real backend."""
+    from ..ops import pallas_conv as PC
+
+    policy = PC.pallas_conv_policy()
+    if policy == "off":
+        return None
+    interpret = jax.default_backend() != "tpu"
+    pad = tuple(tuple(p) for p in padding)
+    if (
+        wq.shape[:2] != (3, 3)
+        or tuple(strides) != (1, 1)
+        or pad != ((1, 1), (1, 1))
+        or groups != 1
+        or tuple(dilation) != (1, 1)
+        or fold is None
+        or xq.ndim != 4
+    ):
+        return None
+    if act is nn.silu:
+        act_name = "silu"
+    elif act is nn.relu:
+        act_name = "relu"
+    elif act is None:
+        act_name = None
+    else:
+        return None
+    gain, fbias = fold
+    scale = wscale * xscale * gain
+    bias = fbias if conv_bias is None else fbias + gain * conv_bias
+    requant = out_scale is not None
+    odtype = "int8" if requant else "bfloat16"
+    if not interpret:
+        n, h, w, cin = xq.shape
+        wpad = w + 2 + (-(w + 2) % 128)
+        if not PC.conv_compile_ok(
+            n, h, w, wpad, cin, wq.shape[-1], act_name, odtype, requant
+        ):
+            return None
+    _TRACE_STATS["pallas_convs"] += 1
+    y = PC.int8_conv3x3(
+        xq, wq, scale, bias, act_name,
+        out_scale=out_scale, interpret=interpret,
+    )
+    if requant:
+        return QTensor(y, out_scale)
     return y
 
 
@@ -397,6 +570,7 @@ class Int8Dense(nn.Module):
             (x.shape[-1], self.features),
             jnp.float32,
         )
+        _TRACE_STATS["int8_dense"] += 1
         xscale = int8_act_scale(self, x)
         bias = None
         if self.use_bias:
@@ -494,7 +668,10 @@ class ConvBN(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, emit_q: bool = False):
+    def __call__(
+        self, x, train: bool = False, emit_q: bool = False,
+        emit_scale=None,
+    ):
         # torch semantics (pad=k//2 symmetric) differ from lax "SAME" on
         # stride-2 / even inputs; default to the torch convention since all
         # ingested checkpoints assume it.
@@ -518,6 +695,7 @@ class ConvBN(nn.Module):
             # (depthwise/grouped conv, train path): take the bf16 view
             x = x.dequant()
         if use_int8:
+            _TRACE_STATS["int8_convs"] += 1
             fold = None
             if self.use_bn:
                 fold = BNFoldParams(epsilon=1e-5, name="bn")(self.features)
@@ -530,10 +708,14 @@ class ConvBN(nn.Module):
                 kernel_dilation=self.dilation,
                 use_bias=self.use_bias or not self.use_bn,
                 name="conv",
-            )(x, fold=fold, act=self.act, emit_q=emit_q)
+            )(
+                x, fold=fold, act=self.act, emit_q=emit_q,
+                emit_scale=emit_scale,
+            )
         # int8-ineligible layers under int8 mode run bf16 (MXU-native)
         dtype = self.dtype
         if _QUANT_MODE in INT8_MODES and dtype is None:
+            _TRACE_STATS["bf16_convs"] += 1
             dtype = jnp.bfloat16
         # tiny-C_in stride-2 stems (the first conv of every backbone):
         # evaluate via polyphases — identical math and parameter tree,
@@ -709,12 +891,30 @@ class PolyphaseStemConv(nn.Module):
 
 def max_pool(x, window: int, stride: int, pad: int = 0):
     """Max pool with torch-style symmetric integer padding."""
+    if isinstance(x, QTensor):
+        return max_pool_q(x, window, stride, pad)
     return nn.max_pool(
         x,
         (window, window),
         strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
     )
+
+
+def max_pool_q(x: QTensor, window: int, stride: int, pad: int = 0) -> QTensor:
+    """Max pool in the s8 domain: max commutes with the (positive)
+    dequant scale, so pooling the quantized data IS the quantized pooled
+    value — SPPF's pyramid stays 1-byte end to end.  Padding with -128
+    (below any representable s8 value) is the domain's -inf."""
+    y = jax.lax.reduce_window(
+        x.data,
+        jnp.int8(-128),
+        jax.lax.max,
+        (1, window, window, 1),
+        (1, stride, stride, 1),
+        [(0, 0), (pad, pad), (pad, pad), (0, 0)],
+    )
+    return QTensor(y, x.scale)
 
 
 def resize_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:

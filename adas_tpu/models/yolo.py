@@ -102,21 +102,41 @@ class Bottleneck(nn.Module):
     kernels: Tuple[int, int] = (3, 3)
 
     @nn.compact
-    def __call__(self, x, train=False):
+    def __call__(self, x, train=False, emit_scale=None):
+        """``emit_scale``: this bottleneck's output belongs to an s8
+        concat group (C2f/C3 parts) — emit a QTensor quantized at the
+        group's unified scale (TRT int8-concat semantics; see
+        layers.s8_group_scale)."""
         hidden = int(self.features * self.expansion)
         # cv1 -> cv2 is a single-consumer edge: chain s8 between the
         # int8 epilogues (layers._S8_CHAIN) so no bf16 intermediate
         # lands in HBM.  Only when cv2 can actually take int8 — emitting
         # into an ineligible consumer would add a useless quantize/
         # dequantize round trip on a previously-exact bf16 edge.
-        from .layers import int8_conv_eligible
+        from .layers import QTensor, int8_conv_eligible, quantize_to
 
         y = ConvBN(hidden, (self.kernels[0],) * 2, name="cv1")(
             x, train, emit_q=int8_conv_eligible(1, hidden)
         )
+        use_shortcut = self.shortcut and x.shape[-1] == self.features
+        if (
+            emit_scale is not None
+            and not use_shortcut
+            and int8_conv_eligible(1, hidden)
+        ):
+            # the group quantize rides cv2's fused epilogue directly
+            return ConvBN(
+                self.features, (self.kernels[1],) * 2, name="cv2"
+            )(y, train, emit_scale=emit_scale)
         y = ConvBN(self.features, (self.kernels[1],) * 2, name="cv2")(y, train)
-        if self.shortcut and x.shape[-1] == self.features:
-            y = x + y
+        if use_shortcut:
+            xv = x.dequant() if isinstance(x, QTensor) else x
+            y = xv + y
+        if emit_scale is not None:
+            # residual-add output: the explicit group quantize fuses
+            # into the add/epilogue elementwise chain (XLA fuses conv
+            # CONSUMERS); only the s8 tensor reaches HBM
+            y = quantize_to(y, emit_scale)
         return y
 
 
@@ -129,16 +149,26 @@ class C3(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False, emit_q=False):
+        from .layers import qconcat, s8_group_record, s8_group_scale
+
         hidden = self.features // 2
-        a = ConvBN(hidden, (1, 1), name="cv1")(x, train)
+        # s8 concat group (TRT int8-concat): the two branch exits emit
+        # at ONE calibrated scale so the concat stays 1-byte and cv3
+        # reads it with no input-quantize pass
+        gscale = s8_group_scale(self)
+        a = ConvBN(hidden, (1, 1), name="cv1")(
+            x, train, emit_scale=gscale if self.n == 0 else None
+        )
         for i in range(self.n):
             a = Bottleneck(
                 hidden, self.shortcut, expansion=1.0, kernels=(1, 3),
                 name=f"m{i}",
-            )(a, train)
-        b = ConvBN(hidden, (1, 1), name="cv2")(x, train)
+            )(a, train, emit_scale=gscale if i == self.n - 1 else None)
+        b = ConvBN(hidden, (1, 1), name="cv2")(x, train, emit_scale=gscale)
+        cat = qconcat([a, b])
+        s8_group_record(self, cat)
         return ConvBN(self.features, (1, 1), name="cv3")(
-            jnp.concatenate([a, b], axis=-1), train, emit_q=emit_q
+            cat, train, emit_q=emit_q
         )
 
 
@@ -151,18 +181,32 @@ class C2f(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False, emit_q=False):
+        from .layers import qconcat, s8_group_record, s8_group_scale
+
         hidden = self.features // 2
-        y = ConvBN(2 * hidden, (1, 1), name="cv1")(x, train)
+        # s8 concat group: every part (cv1's two split halves + each
+        # bottleneck exit) emits at one calibrated scale — parts slice/
+        # chain in the s8 domain (QTensor.__getitem__), the n+2-way
+        # concat is 1-byte, and cv2 reads it with no input quantize.
+        # Each part's QTensor serves BOTH its consumers (the next
+        # bottleneck's int8 cv1 and the concat) — the multi-consumer
+        # edge the per-producer ymax chaining could not cover.
+        gscale = s8_group_scale(self)
+        y = ConvBN(2 * hidden, (1, 1), name="cv1")(
+            x, train, emit_scale=gscale
+        )
         parts = [y[..., :hidden], y[..., hidden:]]
         for i in range(self.n):
             parts.append(
                 Bottleneck(
                     hidden, self.shortcut, expansion=1.0, kernels=(3, 3),
                     name=f"m{i}",
-                )(parts[-1], train)
+                )(parts[-1], train, emit_scale=gscale)
             )
+        cat = qconcat(parts)
+        s8_group_record(self, cat)
         return ConvBN(self.features, (1, 1), name="cv2")(
-            jnp.concatenate(parts, axis=-1), train, emit_q=emit_q
+            cat, train, emit_q=emit_q
         )
 
 
@@ -173,14 +217,20 @@ class SPPF(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
+        from .layers import qconcat, s8_group_record, s8_group_scale
+
         hidden = x.shape[-1] // 2
-        y = ConvBN(hidden, (1, 1), name="cv1")(x, train)
+        # s8 concat group: the pools run in the s8 domain (max commutes
+        # with the positive dequant scale — layers.max_pool_q), so one
+        # cv1 emission covers all four concat members
+        gscale = s8_group_scale(self)
+        y = ConvBN(hidden, (1, 1), name="cv1")(x, train, emit_scale=gscale)
         p1 = max_pool(y, 5, 1, pad=2)
         p2 = max_pool(p1, 5, 1, pad=2)
         p3 = max_pool(p2, 5, 1, pad=2)
-        return ConvBN(self.features, (1, 1), name="cv2")(
-            jnp.concatenate([y, p1, p2, p3], axis=-1), train
-        )
+        cat = qconcat([y, p1, p2, p3])
+        s8_group_record(self, cat)
+        return ConvBN(self.features, (1, 1), name="cv2")(cat, train)
 
 
 class SCDown(nn.Module):
@@ -242,7 +292,10 @@ class CIB(nn.Module):
             self.features, (3, 3), groups=self.features, name="cv4"
         )(y, train)
         if self.shortcut and cin == self.features:
-            y = x + y
+            from .layers import QTensor
+
+            xv = x.dequant() if isinstance(x, QTensor) else x
+            y = xv + y
         return y
 
 
@@ -254,18 +307,33 @@ class C2fCIB(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
+        from .layers import (
+            QTensor,
+            qconcat,
+            quantize_to,
+            s8_group_record,
+            s8_group_scale,
+        )
+
         hidden = self.features // 2
-        y = ConvBN(2 * hidden, (1, 1), name="cv1")(x, train)
+        # s8 concat group (see C2f): CIB exits are depthwise-ended so
+        # they cannot emit from a conv epilogue — the explicit group
+        # quantize fuses into each exit's elementwise chain instead
+        gscale = s8_group_scale(self)
+        y = ConvBN(2 * hidden, (1, 1), name="cv1")(
+            x, train, emit_scale=gscale
+        )
         parts = [y[..., :hidden], y[..., hidden:]]
         for i in range(self.n):
-            parts.append(
-                CIB(hidden, self.shortcut, lk=self.lk, name=f"m{i}")(
-                    parts[-1], train
-                )
+            p = CIB(hidden, self.shortcut, lk=self.lk, name=f"m{i}")(
+                parts[-1], train
             )
-        return ConvBN(self.features, (1, 1), name="cv2")(
-            jnp.concatenate(parts, axis=-1), train
-        )
+            if gscale is not None and not isinstance(p, QTensor):
+                p = quantize_to(p, gscale)
+            parts.append(p)
+        cat = qconcat(parts)
+        s8_group_record(self, cat)
+        return ConvBN(self.features, (1, 1), name="cv2")(cat, train)
 
 
 #: (stage4, pan4, pan5) large-kernel flags per v10 scale, from the

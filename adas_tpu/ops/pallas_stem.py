@@ -40,6 +40,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+#: trace-time serving provenance (bench.py embeds it): how many stem
+#: sites compiled into the Pallas kernel vs the XLA fallback chain, and
+#: any probe failures.  Reset before tracing a pipeline, read after.
+STEM_STATS = {"pallas_served": 0, "xla_fallback": 0, "probe_failed": 0}
+
+
+def reset_stem_stats() -> None:
+    for k in STEM_STATS:
+        STEM_STATS[k] = 0
+
+
 def polyphase_tap_params(kh: int, kw: int) -> Tuple[int, int, int, int]:
     """(na, nb, pad_a, pad_b): tap counts and cell-grid padding of the
     2x2-polyphase evaluation of an odd (kh, kw) stride-2 conv — same
@@ -469,12 +480,16 @@ def fused_stem(
             feat, hs, ws, na, nb, pool, act,
             jnp.dtype(out_dtype).name,
         )
+        if not use_kernel:
+            STEM_STATS["probe_failed"] += 1
     if not use_kernel:
+        STEM_STATS["xla_fallback"] += 1
         return _xla_stem_chain(
             planes_data, kernel_hwio, gain, bias,
             logical_hw=logical_hw, pool=pool, act=act,
             out_dtype=out_dtype, margins=((mt, mb), (ml, mr)),
         )
+    STEM_STATS["pallas_served"] += 1
     w2t = polyphase_w2t(kernel_hwio).astype(compute_dtype)
     return _fused_stem_call(
         planes_data, w2t, gain, bias, hs, ws, na, nb, pool, act,

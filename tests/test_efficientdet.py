@@ -67,6 +67,7 @@ def test_efficientdet_d0_output_shapes():
     assert (p >= 0).all() and (p <= 1).all()
 
 
+@pytest.mark.slow
 def test_efficientdet_facade_smoke():
     from adas_tpu.perception.efficientdet_detector import EfficientdetDetector
     from adas_tpu.models import efficientdet as ed
@@ -153,6 +154,7 @@ class TestZylo117Ingestion:
                     flat_got[coll][k], flat_ref[coll][k]
                 )
 
+    @pytest.mark.slow
     def test_facade_pth_roundtrip(self, tmp_path):
         """A zylo117-layout .pth loads through the facade (class count
         inferred from the checkpoint head) and detects."""

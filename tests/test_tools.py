@@ -149,6 +149,7 @@ def test_artifact_roundtrip(tmp_path):
     np.testing.assert_allclose(outs[0], np.asarray(ref), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_yolo_detector_loads_adas_artifact(tmp_path):
     from adas_tpu.engine.artifact import build_artifact
     from adas_tpu.models.yolo import YoloSpec, build_yolo
@@ -177,6 +178,7 @@ def test_yolo_detector_loads_adas_artifact(tmp_path):
     assert isinstance(det.object_info, list)
 
 
+@pytest.mark.slow
 def test_detector_loads_int8_weights(tmp_path):
     import jax
 

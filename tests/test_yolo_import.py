@@ -54,16 +54,16 @@ def _inverse_transform(dst_path, value):
 @pytest.mark.parametrize(
     "family,scale",
     [
-        ("v8", "n"), ("v5", "n"), ("v10", "n"), ("v10", "s"),
+        ("v8", "n"), ("v5", "n"), ("v10", "n"), pytest.param("v10", "s", marks=pytest.mark.slow),
         # big scales compile for minutes on the CPU test backend: slow
         # tier only (the n/s scales keep the mapping machinery covered)
         pytest.param("v10", "m", marks=pytest.mark.slow),
         pytest.param("v10", "x", marks=pytest.mark.slow),
-        ("v6", "n"),
+        pytest.param("v6", "n", marks=pytest.mark.slow),
         pytest.param("v6", "s", marks=pytest.mark.slow),
         pytest.param("v6", "m", marks=pytest.mark.slow),
         pytest.param("v6", "l", marks=pytest.mark.slow),
-        pytest.param("v7", "l", marks=pytest.mark.slow), ("v9", "c"),
+        pytest.param("v7", "l", marks=pytest.mark.slow), pytest.param("v9", "c", marks=pytest.mark.slow),
         pytest.param("v5lite", "e", marks=pytest.mark.slow), pytest.param("v5lite", "s", marks=pytest.mark.slow),
     ],
 )
