@@ -104,29 +104,83 @@ def build_fused_artifact(
     ``step_fn(frame)`` must close over its weights (they are baked into
     the StableHLO as constants, exactly like a TRT engine).
     """
-    h, w, c = (int(v) for v in frame_shape)
-    spec = jax.ShapeDtypeStruct((h, w, c), frame_dtype)
+    return build_fused_artifact_multi(
+        lambda hw: step_fn,
+        [tuple(frame_shape)[:2]],
+        out_path,
+        channels=int(frame_shape[2]),
+        frame_dtype=frame_dtype,
+        platforms=platforms,
+        meta=meta,
+    )
+
+
+def build_fused_artifact_multi(
+    step_for,
+    frame_hws: Sequence[Sequence[int]],
+    out_path: str,
+    channels: int = 3,
+    frame_dtype=jnp.uint8,
+    platforms: Optional[Sequence[str]] = None,
+    meta: Optional[dict] = None,
+    meta_for=None,
+) -> dict:
+    """Multi-geometry fused artifact: one serialized engine covering N
+    source-frame shapes, the way the reference's extension dispatch
+    covers any file the engine was built for (coreEngine.py:120-157
+    loads whatever bindings the .trt bakes; TRT optimization profiles
+    are the same idea).  ``step_for((h, w))`` returns the fused step
+    specialized to that geometry (letterbox constants etc. baked per
+    graph); ``CompiledEngine.run_device`` picks the graph matching the
+    incoming frame's shape at call time — a 720p and a 1080p feed serve
+    from ONE ``.adas`` file.
+
+    ``meta_for((h, w))``: optional per-geometry metadata (e.g. a pack
+    spec recorded during that geometry's trace)."""
+    geoms = []
+    blobs = {}
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = list(platforms)
-    exp = jax_export.export(jax.jit(step_fn), **kwargs)(spec)
-
-    outs = jax.eval_shape(step_fn, spec)
-    out_leaves, _ = jax.tree_util.tree_flatten(outs)
+    for hw in frame_hws:
+        h, w = int(hw[0]), int(hw[1])
+        fn = step_for((h, w))
+        spec = jax.ShapeDtypeStruct((h, w, channels), frame_dtype)
+        exp = jax_export.export(jax.jit(fn), **kwargs)(spec)
+        outs = jax.eval_shape(fn, spec)
+        out_leaves, _ = jax.tree_util.tree_flatten(outs)
+        entry = {
+            "frame_shape": [h, w, channels],
+            "output_shapes": [
+                [int(d) for d in o.shape] for o in out_leaves
+            ],
+            "output_dtypes": [str(o.dtype) for o in out_leaves],
+            "output_names": _leaf_names(outs),
+        }
+        if meta_for is not None:
+            entry.update(meta_for((h, w)))
+        geoms.append(entry)
+        blobs[f"graphs/{h}x{w}.bin"] = exp.serialize()
+    first = geoms[0]
+    h0, w0, c0 = first["frame_shape"]
     metadata = {
         "format_version": FORMAT_VERSION,
         "fused": True,
-        "frame_shape": [h, w, c],
-        "input_shape_nchw": [1, c, h, w],
+        # legacy single-geometry fields mirror the FIRST geometry so
+        # older readers keep working; "geometries" is authoritative
+        "frame_shape": first["frame_shape"],
+        "input_shape_nchw": [1, c0, h0, w0],
         "input_dtype": str(np.dtype(frame_dtype)),
-        "output_shapes": [[int(d) for d in o.shape] for o in out_leaves],
-        "output_dtypes": [str(o.dtype) for o in out_leaves],
-        "output_names": _leaf_names(outs),
+        "output_shapes": first["output_shapes"],
+        "output_dtypes": first["output_dtypes"],
+        "output_names": first["output_names"],
+        "geometries": geoms,
         "platforms": list(platforms) if platforms else [jax.default_backend()],
         **(meta or {}),
     }
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
-        zf.writestr("graph.bin", exp.serialize())
+        for name, blob in blobs.items():
+            zf.writestr(name, blob)
         zf.writestr("meta.json", json.dumps(metadata, indent=2))
     return metadata
 
@@ -147,17 +201,18 @@ def pack_spec_meta(pack_spec) -> dict:
 
 
 def check_fused_frame(engine, srcimg: np.ndarray) -> jnp.ndarray:
-    """Validate a source frame against a fused artifact's baked shape.
+    """Validate a source frame against a fused artifact's baked shapes.
 
-    Fused engines are shape-specialized like TRT fixed bindings — the
-    letterbox geometry / decode rescale for exactly one frame shape is
-    a constant in the graph."""
-    expect = tuple(engine.meta["frame_shape"])
-    if tuple(srcimg.shape) != expect:
+    Fused engines are shape-specialized like TRT bindings/optimization
+    profiles — the letterbox geometry / decode rescale per frame shape
+    is a constant in each serialized graph; multi-geometry artifacts
+    carry one graph per shape and dispatch at call time."""
+    shapes = engine.fused_shapes
+    if tuple(srcimg.shape) not in shapes:
         raise ValueError(
-            f"fused engine was built for frame shape {expect}, got "
-            f"{tuple(srcimg.shape)}; rebuild with export_fused(frame_hw="
-            f"{tuple(srcimg.shape[:2])})"
+            f"fused engine was built for frame shape(s) "
+            f"{sorted(shapes)}, got {tuple(srcimg.shape)}; rebuild with "
+            f"export_fused(frame_hw=[..., {tuple(srcimg.shape[:2])}])"
         )
     return jnp.asarray(srcimg)
 
@@ -183,9 +238,24 @@ class CompiledEngine(EngineBase):
     def __init__(self, model_path: str):
         with zipfile.ZipFile(model_path) as zf:
             self._meta = json.loads(zf.read("meta.json"))
-            self._exported = jax_export.deserialize(zf.read("graph.bin"))
+            names = zf.namelist()
+            self._calls = {}
+            if "graph.bin" in names:  # single-geometry layout
+                exported = jax_export.deserialize(zf.read("graph.bin"))
+                self._calls[tuple(self._meta["frame_shape"])] = jax.jit(
+                    exported.call
+                )
+                self._exported = exported
+            else:
+                for g in self._meta.get("geometries", []):
+                    h, w, c = g["frame_shape"]
+                    exported = jax_export.deserialize(
+                        zf.read(f"graphs/{h}x{w}.bin")
+                    )
+                    self._calls[(h, w, c)] = jax.jit(exported.call)
+                self._exported = None
         self.providers = ",".join(self._meta["platforms"])
-        self._call = jax.jit(self._exported.call)
+        self._call = next(iter(self._calls.values()))
 
     @property
     def meta(self) -> dict:
@@ -205,6 +275,20 @@ class CompiledEngine(EngineBase):
         return bool(self._meta.get("fused", False))
 
     @property
+    def fused_shapes(self):
+        """The source-frame shapes this fused artifact serves (one graph
+        per geometry — TRT optimization-profile analogue)."""
+        return set(self._calls.keys())
+
+    def geometry_meta(self, frame_shape) -> dict:
+        """Per-geometry metadata entry (falls back to the artifact-level
+        fields for single-geometry files)."""
+        for g in self._meta.get("geometries", []):
+            if tuple(g["frame_shape"]) == tuple(frame_shape):
+                return g
+        return self._meta
+
+    @property
     def engine_dtype(self):
         d = self._meta["input_dtype"]
         if d == "uint8":
@@ -212,7 +296,11 @@ class CompiledEngine(EngineBase):
         return np.float16 if d == "float16" else np.float32
 
     def run_device(self, nhwc_batch):
-        return self._call(nhwc_batch)
+        """Execute on device; multi-geometry artifacts dispatch on the
+        input's shape (the runtime analogue of picking a TRT
+        optimization profile)."""
+        call = self._calls.get(tuple(nhwc_batch.shape), self._call)
+        return call(nhwc_batch)
 
     def engine_inference(self, input_tensor: np.ndarray) -> List[np.ndarray]:
         nhwc = jnp.asarray(np.transpose(input_tensor, (0, 2, 3, 1)))

@@ -243,16 +243,22 @@ class UltrafastLaneDetectorV2(LaneDetectBase):
         fetched buffer."""
         if self.engine is not None:
             raise ValueError("export_fused needs the native-graph path")
-        from ..engine.artifact import build_fused_artifact, pack_spec_meta
+        from ..engine.artifact import (
+            build_fused_artifact_multi,
+            pack_spec_meta,
+        )
+        from ..utils.misc import _norm_frame_hws
 
-        h, w = int(frame_hw[0]), int(frame_hw[1])
+        hws = _norm_frame_hws(frame_hw)
         step, spec_holder = self._step
         variables = self.variables
         fn = lambda frame: step(variables, frame)  # noqa: E731
-        # trace once so the step records its pack spec
-        jax.eval_shape(fn, jax.ShapeDtypeStruct((h, w, 3), jnp.uint8))
-        return build_fused_artifact(
-            fn, (h, w, 3), out_path, platforms=platforms,
+        # trace once so the step records its pack spec (identical for
+        # every geometry: the decode tensors are model-sized)
+        h0, w0 = hws[0]
+        jax.eval_shape(fn, jax.ShapeDtypeStruct((h0, w0, 3), jnp.uint8))
+        return build_fused_artifact_multi(
+            lambda hw: fn, hws, out_path, platforms=platforms,
             meta={
                 "kind": "ufldv2",
                 "model": self.model_type.name,
@@ -426,13 +432,13 @@ class UltrafastLaneDetector(LaneDetectBase):
         as a single-round-trip ``.adas`` artifact."""
         if self.engine is not None:
             raise ValueError("export_fused needs the native-graph path")
-        from ..engine.artifact import build_fused_artifact
+        from ..engine.artifact import build_fused_artifact_multi
+        from ..utils.misc import _norm_frame_hws
 
-        h, w = int(frame_hw[0]), int(frame_hw[1])
         step, variables = self._step, self.variables
-        return build_fused_artifact(
-            lambda frame: step(variables, frame),
-            (h, w, 3), out_path, platforms=platforms,
+        return build_fused_artifact_multi(
+            lambda hw: (lambda frame: step(variables, frame)),
+            _norm_frame_hws(frame_hw), out_path, platforms=platforms,
             meta={"kind": "ufldv1", "model": self.model_type.name},
         )
 

@@ -415,17 +415,25 @@ class YoloDetector(ObjectDetectBase):
         """Serialize the FUSED step (uint8 frame -> (max_det, 6) dets in
         source coords) as a ``.adas`` artifact — single-round-trip
         serving, the true analogue of the reference's one
-        h2d→execute→d2h engine call (coreEngine.py:93-118)."""
+        h2d→execute→d2h engine call (coreEngine.py:93-118).
+
+        ``frame_hw``: one (h, w) or a LIST of them — a multi-geometry
+        artifact carries one graph per source shape and dispatches at
+        run time (coreEngine.py:120-157 / TRT optimization profiles)."""
         if self.engine is not None:
             raise ValueError("export_fused needs the native-graph path")
-        from ..engine.artifact import build_fused_artifact
+        from ..engine.artifact import build_fused_artifact_multi
+        from ..utils.misc import _norm_frame_hws
 
-        h, w = int(frame_hw[0]), int(frame_hw[1])
-        step = self._build_step((h, w))
         variables = self.variables
-        return build_fused_artifact(
-            lambda frame: step(variables, frame),
-            (h, w, 3),
+
+        def step_for(hw):
+            step = self._build_step(hw)
+            return lambda frame: step(variables, frame)
+
+        return build_fused_artifact_multi(
+            step_for,
+            _norm_frame_hws(frame_hw),
             out_path,
             platforms=platforms,
             meta={

@@ -72,3 +72,68 @@ def test_ufldv2_fused_artifact_matches_native(tmp_path, frame):
     assert na.lanes_status == sa.lanes_status
     for lane_a, lane_b in zip(na.lanes_points, sa.lanes_points):
         assert np.array_equal(np.asarray(lane_a), np.asarray(lane_b))
+
+
+def test_multi_geometry_fused_artifact(tmp_path, frame):
+    """ONE serialized engine covering two source geometries, dispatched
+    at run time on the incoming frame's shape (the reference's extension
+    dispatch covers any file: coreEngine.py:120-157; TRT optimization
+    profiles are the hardware analogue)."""
+    native = YoloDetector(
+        model_path=None, model_type=ObjectModelType.YOLOV8, scale="n",
+        input_size=(160, 160), box_score=0.05,
+    )
+    small = frame[:90, :160].copy()
+    path = str(tmp_path / "v8n_multi.adas")
+    meta = native.export_fused(
+        path, frame_hw=[frame.shape[:2], small.shape[:2]]
+    )
+    assert len(meta["geometries"]) == 2
+
+    served = YoloDetector(
+        model_path=path, model_type=ObjectModelType.YOLOV8, scale="n",
+        input_size=(160, 160), box_score=0.05,
+    )
+    assert served.engine.fused
+    assert served.engine.fused_shapes == {(180, 320, 3), (90, 160, 3)}
+
+    for f in (frame, small):
+        native.DetectFrame(f)
+        served.DetectFrame(f)
+        a = [
+            (o.tolist(), round(o.conf, 5), o.label)
+            for o in native.object_info
+        ]
+        b = [
+            (o.tolist(), round(o.conf, 5), o.label)
+            for o in served.object_info
+        ]
+        assert a == b, f.shape
+
+    # an unbuilt geometry still errors loudly
+    with pytest.raises(ValueError, match="fused engine was built"):
+        served.DetectFrame(frame[:64])
+
+
+def test_multi_geometry_lane_artifact(tmp_path, frame):
+    native = UltrafastLaneDetectorV2(
+        model_path=None, model_type=LaneModelType.UFLDV2_TUSIMPLE
+    )
+    small = frame[:90, :160].copy()
+    path = str(tmp_path / "ufldv2_multi.adas")
+    meta = native.export_fused(
+        path, frame_hw=[frame.shape[:2], small.shape[:2]]
+    )
+    assert len(meta["geometries"]) == 2 and "pack" in meta
+
+    served = UltrafastLaneDetectorV2(
+        model_path=path, model_type=LaneModelType.UFLDV2_TUSIMPLE
+    )
+    for f in (frame, small):
+        native.DetectFrame(f)
+        served.DetectFrame(f)
+        assert native.lane_info.lanes_status == served.lane_info.lanes_status
+        for la, lb in zip(
+            native.lane_info.lanes_points, served.lane_info.lanes_points
+        ):
+            assert np.array_equal(np.asarray(la), np.asarray(lb))
