@@ -733,7 +733,7 @@ def build_yolo(spec: YoloSpec) -> nn.Module:
     if spec.family == "v5lite":
         from .yolov5lite import V5LITE_PLANS, YoloV5Lite
 
-        if spec.scale not in V5LITE_PLANS:
+        if spec.scale not in (*V5LITE_PLANS, "g"):
             spec = YoloSpec(
                 family="v5lite", scale="s",
                 num_classes=spec.num_classes, input_size=spec.input_size,

@@ -1,5 +1,6 @@
-"""YOLOv5-Lite (ppogg/YOLOv5-Lite e/s) in flax — the real ShuffleNetV2
-trunk, not the v5 stand-in previously aliased.
+"""YOLOv5-Lite (ppogg/YOLOv5-Lite e/s/g) in flax — the real ShuffleNetV2
+trunk for e/s and the RepVGG trunk (deploy form) for g, not the v5
+stand-in previously aliased.
 
 The reference supports v5-Lite exports as a *decode contract*: the ONNX
 graph stops before the anchor/grid transform and emits sigmoided
@@ -46,6 +47,31 @@ V5LITE_PLANS = {
     "e": (24, (48, 96, 192), (3, 7, 3), 64),
     "s": (32, (116, 232, 464), (3, 7, 3), 96),
 }
+
+#: v5lite-g: the RepVGG trunk variant (upstream v5lite-g.yaml uses
+#: models/common.py RepVGGBlock).  Widths/depths follow the RepVGG-A0
+#: profile the upstream g model is built from (48/48/96/192 stages, the
+#: 1280-wide classifier stage replaced by a 384-wide detection stage);
+#: each stage's first block is stride 2, P3/P4/P5 tap stages 2/3/4, SPP
+#: (5/9/13) caps P5 and a single-width (128) v5 PAN follows.  Layout is
+#: reconstructed — the released .pt defines ground truth and no network
+#: code ships with the reference (it consumes ONNX exports only:
+#: /root/reference/ObjectDetector/utils.py:15-23) — but block semantics
+#: are validated end-to-end against a train-form torch twin
+#: (tests/torch_nets_detect.TorchYOLOv5LiteG) through the ingest-time
+#: re-parameterization below.
+V5LITE_G_PLAN = {
+    "widths": (48, 48, 96, 192, 384),
+    "blocks": (1, 2, 4, 14, 1),
+    "neck": 128,
+}
+
+
+def _neck_width(scale: str) -> int:
+    """Single PAN width per scale (64/96/128 for e/s/g)."""
+    if scale == "g":
+        return V5LITE_G_PLAN["neck"]
+    return V5LITE_PLANS[scale][3]
 
 
 def channel_shuffle2(x: jnp.ndarray) -> jnp.ndarray:
@@ -112,6 +138,70 @@ class ShuffleV2Block(nn.Module):
         return channel_shuffle2(jnp.concatenate([b1, y], axis=-1))
 
 
+class SPPv5(nn.Module):
+    """v5 SPP (ultralytics models/common.py SPP, k=(5, 9, 13)): cv1 to
+    half width, three PARALLEL max pools of the cv1 output, concat of
+    all four, cv2.  (SPPF is the cascaded refactor; the g trunk uses the
+    original parallel form.)  Runs the pools in the s8 domain under int8
+    like SPPF (max commutes with the positive dequant scale)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .layers import (
+            max_pool,
+            qconcat,
+            s8_group_record,
+            s8_group_scale,
+        )
+
+        hidden = x.shape[-1] // 2
+        gscale = s8_group_scale(self)
+        y = ConvBN(hidden, (1, 1), name="cv1")(x, train, emit_scale=gscale)
+        pools = [max_pool(y, k, 1, pad=k // 2) for k in (5, 9, 13)]
+        cat = qconcat([y, *pools])
+        s8_group_record(self, cat)
+        return ConvBN(self.features, (1, 1), name="cv2")(cat, train)
+
+
+class RepBackbone(nn.Module):
+    """v5lite-g backbone: RepVGG stages in DEPLOY form.
+
+    The upstream train-form block is three branches — 3×3 conv+BN, 1×1
+    conv+BN, identity BN — summed then ReLU'd (DingXiaoH RepVGG,
+    arXiv:2101.03697).  Serving three branches costs three HBM-bound
+    passes plus two elementwise adds per block; the whole point of the
+    architecture is that they collapse EXACTLY into one 3×3 conv + bias
+    ("switch_to_deploy").  We do that collapse at checkpoint INGEST
+    (tools/yolo_import.fuse_repvgg_state), so the native graph is the
+    single-conv form: each block is a plain ConvBN(3×3, ReLU) whose BN
+    carries identity stats with the fused bias in ``bn/bias`` — which
+    means every int8 / s8-chain / Pallas / polyphase-stem policy in
+    layers.py applies to the g trunk unchanged.  Parity of the fusion is
+    proven against the train-form torch twin (test_detect_parity)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        widths = V5LITE_G_PLAN["widths"]
+        blocks = V5LITE_G_PLAN["blocks"]
+        feats = []
+        for si, (w, n) in enumerate(zip(widths, blocks)):
+            x = ConvBN(
+                w, (3, 3), strides=(2, 2), act=nn.relu,
+                name=f"rep{si}_0",
+            )(x, train)
+            for bi in range(1, n):
+                x = ConvBN(
+                    w, (3, 3), act=nn.relu, name=f"rep{si}_{bi}"
+                )(x, train)
+            if si in (2, 3):
+                feats.append(x)
+        x = SPPv5(widths[4], name="spp")(x, train)
+        feats.append(x)
+        return tuple(feats)
+
+
 class LiteBackbone(nn.Module):
     """StemBlock + three ShuffleNetV2 stages → (P3, P4, P5) at strides
     (8, 16, 32)."""
@@ -143,7 +233,7 @@ class LitePAN(nn.Module):
     @nn.compact
     def __call__(self, feats, train: bool = False):
         p3, p4, p5 = feats
-        w = V5LITE_PLANS[self.scale][3]
+        w = _neck_width(self.scale)
         l5 = ConvBN(w, (1, 1), name="lat5")(p5, train)
         y = jnp.concatenate([resize_nearest_2x(l5), p4], axis=-1)
         t4 = C3(w, 1, False, name="fpn4")(y, train)
@@ -173,8 +263,11 @@ class YoloV5Lite(nn.Module):
     def __call__(self, x, train: bool = False):
         s = self.spec
         nc = s.num_classes
-        scale = s.scale if s.scale in V5LITE_PLANS else "s"
-        feats = LiteBackbone(scale, name="backbone")(x, train)
+        scale = s.scale if s.scale in (*V5LITE_PLANS, "g") else "s"
+        if scale == "g":
+            feats = RepBackbone(name="backbone")(x, train)
+        else:
+            feats = LiteBackbone(scale, name="backbone")(x, train)
         feats = LitePAN(scale, name="neck")(feats, train)
         na = len(V5_ANCHORS[0])
         outs = []

@@ -217,8 +217,8 @@ class YoloDetector(ObjectDetectBase):
             scale = "c"  # GELAN-C is the supported v9 variant
         if family == "v6" and scale not in ("n", "s", "m", "l"):
             scale = "s"
-        if family == "v5lite" and scale not in ("e", "s"):
-            scale = "s"  # g (RepVGG trunk) serves via the ONNX executor
+        if family == "v5lite" and scale not in ("e", "s", "g"):
+            scale = "s"
         self.spec = YoloSpec(
             family=family,
             scale=scale,

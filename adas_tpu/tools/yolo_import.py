@@ -473,11 +473,139 @@ def _shuffle_entries(src: str, dst: Tuple[str, ...], down: bool):
     return out
 
 
+_REPVGG_BN_EPS = 1e-5  # torch BatchNorm2d default, used by RepVGGBlock
+
+
+def _bn_fold_conv(kernel: np.ndarray, state: dict, bn: str):
+    """Fold torch BN stats (child prefix ``bn``) following a bias-free
+    conv into (kernel, bias) — OIHW in, OIHW out."""
+    gamma = state[f"{bn}.weight"]
+    beta = state[f"{bn}.bias"]
+    mean = state[f"{bn}.running_mean"]
+    var = state[f"{bn}.running_var"]
+    t = gamma / np.sqrt(var + _REPVGG_BN_EPS)
+    return (
+        kernel * t[:, None, None, None],
+        (beta - mean * t).astype(np.float32),
+    )
+
+
+def fuse_repvgg_state(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Structural re-parameterization at ingest (RepVGG
+    ``switch_to_deploy``, arXiv:2101.03697): every train-form block
+    (``rbr_dense`` 3×3 conv+BN, ``rbr_1x1`` 1×1 conv+BN, optional
+    ``rbr_identity`` BN) collapses EXACTLY into one 3×3 conv + bias.
+
+    Emits synthetic ``{block}.fused.*`` tensors consumed by
+    ``_repvgg_fused_entries`` and drops the branch tensors; blocks whose
+    checkpoints are already deploy-form (``.fused.*`` present) pass
+    through untouched.  The fused bias rides the flax BN bias with
+    identity stats (scale=1, mean=0, var=1-eps) so the target module is
+    a standard ConvBN and the int8 machinery applies unchanged."""
+    out = dict(state)
+    suffix = ".rbr_dense.conv.weight"
+    for key in sorted(state):
+        if not key.endswith(suffix):
+            continue
+        p = key[: -len(suffix)]
+        w3 = np.asarray(state[f"{p}.rbr_dense.conv.weight"], np.float32)
+        kern, bias = _bn_fold_conv(w3, state, f"{p}.rbr_dense.bn")
+        w1 = np.asarray(state[f"{p}.rbr_1x1.conv.weight"], np.float32)
+        k1, b1 = _bn_fold_conv(
+            np.pad(w1, ((0, 0), (0, 0), (1, 1), (1, 1))),
+            state, f"{p}.rbr_1x1.bn",
+        )
+        kern, bias = kern + k1, bias + b1
+        consumed = [
+            f"{p}.rbr_dense.conv.weight", f"{p}.rbr_1x1.conv.weight",
+        ]
+        for br in ("rbr_dense.bn", "rbr_1x1.bn"):
+            consumed += [
+                f"{p}.{br}.{s}" for s in
+                ("weight", "bias", "running_mean", "running_var",
+                 "num_batches_tracked")
+            ]
+        if f"{p}.rbr_identity.weight" in state:
+            o = w3.shape[0]
+            wid = np.zeros_like(w3)
+            wid[np.arange(o), np.arange(o), 1, 1] = 1.0
+            kid, bid = _bn_fold_conv(wid, state, f"{p}.rbr_identity")
+            kern, bias = kern + kid, bias + bid
+            consumed += [
+                f"{p}.rbr_identity.{s}" for s in
+                ("weight", "bias", "running_mean", "running_var",
+                 "num_batches_tracked")
+            ]
+        o = kern.shape[0]
+        out[f"{p}.fused.weight"] = kern.astype(np.float32)
+        out[f"{p}.fused.bias"] = bias
+        out[f"{p}.fused.bn_scale"] = np.ones(o, np.float32)
+        out[f"{p}.fused.bn_mean"] = np.zeros(o, np.float32)
+        out[f"{p}.fused.bn_var"] = np.full(o, 1.0 - _REPVGG_BN_EPS, np.float32)
+        for k in consumed:
+            out.pop(k, None)
+    return out
+
+
+def _repvgg_fused_entries(src: str, dst: Tuple[str, ...]):
+    """Deploy-form (ingest-fused) RepVGG block -> ConvBN leaves.  The
+    ``.fused.*`` keys come from fuse_repvgg_state (train-form
+    checkpoints) or directly from a deploy-form export."""
+    return [
+        (f"{src}.fused.weight", "params", dst + ("conv", "kernel"), _conv),
+        (f"{src}.fused.bn_scale", "params", dst + ("bn", "scale"), None),
+        (f"{src}.fused.bias", "params", dst + ("bn", "bias"), None),
+        (f"{src}.fused.bn_mean", "batch_stats", dst + ("bn", "mean"), None),
+        (f"{src}.fused.bn_var", "batch_stats", dst + ("bn", "var"), None),
+    ]
+
+
+def yolov5lite_g_mapping(spec: YoloSpec) -> List[tuple]:
+    """v5lite-g (RepVGG trunk, reconstructed v5lite-g.yaml layout —
+    see models/yolov5lite.V5LITE_G_PLAN): RepVGG down-blocks at module
+    indices 0/1/3/5/7 with repeat Sequentials at 2/4/6, SPP at 8,
+    single-width PAN at 9-22, Detect at 23.  Ultralytics parse_model
+    materializes number==1 repeats as a bare module (no ``.0.``)."""
+    from ..models.yolov5lite import V5LITE_G_PLAN
+
+    blocks = V5LITE_G_PLAN["blocks"]
+    bb = lambda *p: ("backbone",) + p  # noqa: E731
+    nk = lambda *p: ("neck",) + p  # noqa: E731
+    m = []
+    idx = 0
+    for si, n in enumerate(blocks):
+        m += _repvgg_fused_entries(f"model.{idx}", bb(f"rep{si}_0"))
+        idx += 1
+        if n > 1:
+            for bi in range(1, n):
+                src = f"model.{idx}" if n == 2 else f"model.{idx}.{bi - 1}"
+                m += _repvgg_fused_entries(src, bb(f"rep{si}_{bi}"))
+            idx += 1
+    # idx == 8: SPP
+    m += _convbn_entries("model.8.cv1", bb("spp", "cv1"))
+    m += _convbn_entries("model.8.cv2", bb("spp", "cv2"))
+    m += _convbn_entries("model.9", nk("lat5"))
+    m += [(s, c, nk(*p), t) for s, c, p, t in _c3_entries("model.12", "fpn4", 1)]
+    m += _convbn_entries("model.13", nk("lat4"))
+    m += [(s, c, nk(*p), t) for s, c, p, t in _c3_entries("model.16", "fpn3", 1)]
+    m += _convbn_entries("model.17", nk("pan3"))
+    m += [(s, c, nk(*p), t) for s, c, p, t in _c3_entries("model.19", "pan4", 1)]
+    m += _convbn_entries("model.20", nk("pan5_down"))
+    m += [(s, c, nk(*p), t) for s, c, p, t in _c3_entries("model.22", "pan5", 1)]
+    for li in range(3):
+        m += _plain_conv_entries(f"model.23.m.{li}", (f"head{li}",))
+    return m
+
+
 def yolov5lite_mapping(spec: YoloSpec) -> List[tuple]:
     """(src, collection, dst, transform) for ppogg/YOLOv5-Lite e/s
     checkpoints (v5lite-{e,s}.yaml module-index layout: StemBlock at 0,
-    three Shuffle_Block stages, single-width PAN, Detect at 21)."""
+    three Shuffle_Block stages, single-width PAN, Detect at 21).  The g
+    scale (RepVGG trunk) dispatches to yolov5lite_g_mapping."""
     from ..models.yolov5lite import V5LITE_PLANS
+
+    if spec.scale == "g":
+        return yolov5lite_g_mapping(spec)
 
     scale = spec.scale if spec.scale in V5LITE_PLANS else "s"
     repeats = V5LITE_PLANS[scale][2]
@@ -542,6 +670,11 @@ def yolo_variables(
         if k.startswith("model.model."):
             k = k[len("model.") :]
         norm[k] = np.asarray(v)
+    if spec.family == "v5lite" and spec.scale == "g":
+        # RepVGG switch_to_deploy at ingest: train-form branch tensors
+        # collapse into the single-conv deploy form the native graph
+        # serves (models/yolov5lite.RepBackbone)
+        norm = fuse_repvgg_state(norm)
 
     variables: dict = {"params": {}, "batch_stats": {}}
     used = set()

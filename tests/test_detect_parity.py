@@ -64,10 +64,11 @@ def _rel_err(a: np.ndarray, b: np.ndarray) -> float:
 #: tripping a 5e-4 gate.  Bounds are set per numerics class at ~5-50x the
 #: measured drift of the current implementations (ADAS_PARITY_REPORT=1
 #: prints measurements; 2026-08 run recorded in each entry):
-#:   * conv_only (v5 1.1e-7, v5lite 1.1e-7, v6 n/s 1.7e-7, v7 2.2e-7,
-#:     v9c 9.5e-8): pure f32 conv/BN rollups; cross-framework conv-
-#:     algorithm reassociation stays ~1e-7 at these depths -> 1e-5 gate
-#:     (~50x margin).
+#:   * conv_only (v5 1.1e-7, v5lite e/s 1.1e-7, v5lite g 1.1e-7 —
+#:     including the ingest-time RepVGG branch fusion — v6 n/s 1.7e-7,
+#:     v7 2.2e-7, v9c 9.5e-8): pure f32 conv/BN rollups; cross-framework
+#:     conv-algorithm reassociation stays ~1e-7 at these depths -> 1e-5
+#:     gate (~50x margin).
 #:   * softmax_head (v8 1.3e-7, v10n 8.5e-5, v6m 1.2e-7, v6l 1.7e-5):
 #:     DFL softmax(16-bin) expectation / PSA attention mix exp+normalize
 #:     into the box path -> 5e-4 gate (~6x over the worst member).
@@ -439,3 +440,34 @@ class TestYoloV5LiteParity:
             )
         )
         assert_parity(out, ref, "conv_only", f"v5lite{scale}")
+
+    def test_forward_matches_torch_g(self):
+        """g = RepVGG trunk.  The torch twin runs the TRAIN form (three
+        branches per block); ingest performs the switch_to_deploy
+        re-parameterization into the single-conv graph — so this parity
+        also proves the fusion arithmetic, not just the wiring."""
+        from adas_tpu.models.yolo import YoloSpec, build_yolo
+        from adas_tpu.tools.yolo_import import yolo_variables
+        from tests.torch_nets_detect import TorchYOLOv5LiteG
+
+        nc = 8
+        tnet = TorchYOLOv5LiteG(nc=nc).eval()
+        _randomize(tnet)
+        x = torch.randn(
+            1, 3, 96, 96, generator=torch.Generator().manual_seed(9)
+        )
+        with torch.no_grad():
+            ref = tnet(x).numpy()
+
+        spec = YoloSpec(
+            family="v5lite", scale="g", num_classes=nc,
+            input_size=(96, 96),
+        )
+        net = build_yolo(spec)
+        variables = yolo_variables(_state(tnet), spec)
+        out = np.asarray(
+            jax.jit(lambda v, xi: net.apply(v, xi))(
+                variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+            )
+        )
+        assert_parity(out, ref, "conv_only", "v5liteg")

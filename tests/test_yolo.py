@@ -231,7 +231,7 @@ def test_v5lite_native_facade(rng):
     from adas_tpu.models.yolov5lite import YoloV5Lite
 
     frame = rng.integers(0, 255, size=(120, 160, 3)).astype("uint8")
-    for scale in ("e", "s"):
+    for scale in ("e", "s", "g"):
         det = YoloDetector(
             model_path=None, model_type=ObjectModelType.YOLOV5_LITE,
             scale=scale, input_size=(64, 64), box_score=0.3,

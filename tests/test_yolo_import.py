@@ -65,6 +65,9 @@ def _inverse_transform(dst_path, value):
         pytest.param("v6", "l", marks=pytest.mark.slow),
         pytest.param("v7", "l", marks=pytest.mark.slow), pytest.param("v9", "c", marks=pytest.mark.slow),
         pytest.param("v5lite", "e", marks=pytest.mark.slow), pytest.param("v5lite", "s", marks=pytest.mark.slow),
+        # g round-trips the deploy-form (.fused.*) keys directly; the
+        # train-form fusion itself is proven in test_detect_parity
+        pytest.param("v5lite", "g", marks=pytest.mark.slow),
     ],
 )
 def test_mapping_covers_full_tree_and_roundtrips(family, scale):

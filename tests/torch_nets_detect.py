@@ -1632,3 +1632,104 @@ class TorchYOLOv5Lite(nn.Module):
         n4 = m["17"](torch.cat([m["15"](n3), l4], 1))
         n5 = m["20"](torch.cat([m["18"](n4), l5], 1))
         return m["21"]((n3, n4, n5))
+
+
+# --------------------------------------------------------------------------
+# YOLOv5-Lite-g (ppogg RepVGG trunk, train form — Detect at 23)
+# --------------------------------------------------------------------------
+
+
+class TorchRepVGGBlock(nn.Module):
+    """DingXiaoH RepVGG training-form block as ppogg's common.py carries
+    it: rbr_dense (3x3 conv+BN), rbr_1x1 (1x1 conv+BN, pad 0),
+    rbr_identity (plain BN when in==out and stride 1), summed, ReLU."""
+
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+
+        def conv_bn(k, p):
+            seq = nn.Sequential()
+            seq.add_module(
+                "conv", nn.Conv2d(cin, cout, k, stride, p, bias=False)
+            )
+            seq.add_module("bn", nn.BatchNorm2d(cout))
+            return seq
+
+        self.rbr_dense = conv_bn(3, 1)
+        self.rbr_1x1 = conv_bn(1, 0)
+        self.rbr_identity = (
+            nn.BatchNorm2d(cin) if cin == cout and stride == 1 else None
+        )
+
+    def forward(self, x):
+        out = self.rbr_dense(x) + self.rbr_1x1(x)
+        if self.rbr_identity is not None:
+            out = out + self.rbr_identity(x)
+        return F.relu(out)
+
+
+class TorchSPPv5(nn.Module):
+    """ultralytics SPP (parallel k=5/9/13 pools of the cv1 output)."""
+
+    def __init__(self, c, k=(5, 9, 13)):
+        super().__init__()
+        self.cv1 = V7Conv(c, c // 2, 1)
+        self.cv2 = V7Conv(c // 2 * (len(k) + 1), c, 1)
+        self.m = nn.ModuleList(
+            nn.MaxPool2d(ki, 1, ki // 2) for ki in k
+        )
+
+    def forward(self, x):
+        x = self.cv1(x)
+        return self.cv2(torch.cat([x] + [m(x) for m in self.m], 1))
+
+
+class TorchYOLOv5LiteG(nn.Module):
+    """ppogg v5lite-g layout (see models/yolov5lite.V5LITE_G_PLAN):
+    RepVGG down blocks at 0/1/3/5/7, repeats at 2/4/6 (bare module when
+    the repeat count is 1, Sequential otherwise, matching ultralytics
+    parse_model), SPP at 8, single-width PAN, Detect at 23."""
+
+    def __init__(self, widths=(48, 48, 96, 192, 384),
+                 blocks=(1, 2, 4, 14, 1), w=128, nc=80):
+        super().__init__()
+        m = {}
+        cin = 3
+        idx = 0
+        for wi, n in zip(widths, blocks):
+            m[str(idx)] = TorchRepVGGBlock(cin, wi, 2)
+            idx += 1
+            if n > 1:
+                reps = [TorchRepVGGBlock(wi, wi, 1) for _ in range(n - 1)]
+                m[str(idx)] = reps[0] if n == 2 else nn.Sequential(*reps)
+                idx += 1
+            cin = wi
+        m["8"] = TorchSPPv5(widths[4])
+        m["9"] = V7Conv(widths[4], w, 1)
+        m["12"] = V5C3(w + widths[3], w, 1, False)
+        m["13"] = V7Conv(w, w, 1)
+        m["16"] = V5C3(w + widths[2], w, 1, False)
+        m["17"] = V7Conv(w, w, 3, 2)
+        m["19"] = V5C3(2 * w, w, 1, False)
+        m["20"] = V7Conv(w, w, 3, 2)
+        m["22"] = V5C3(2 * w, w, 1, False)
+        m["23"] = LiteDetect((w, w, w), nc)
+        self.model = nn.ModuleDict(m)
+
+    def forward(self, x):
+        m = self.model
+        x = m["1"](m["0"](x))
+        x = m["3"](m["2"](x))
+        p3 = m["4"](x)
+        x = m["5"](p3)
+        p4 = m["6"](x)
+        p5 = m["8"](m["7"](p4))
+        l5 = m["9"](p5)
+        up = F.interpolate(l5, scale_factor=2, mode="nearest")
+        t4 = m["12"](torch.cat([up, p4], 1))
+        l4 = m["13"](t4)
+        up = F.interpolate(l4, scale_factor=2, mode="nearest")
+        n3 = m["16"](torch.cat([up, p3], 1))
+        n4 = m["19"](torch.cat([m["17"](n3), l4], 1))
+        n5 = m["22"](torch.cat([m["20"](n4), l5], 1))
+        return m["23"]((n3, n4, n5))
