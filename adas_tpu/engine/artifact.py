@@ -242,9 +242,13 @@ class CompiledEngine(EngineBase):
             self._calls = {}
             if "graph.bin" in names:  # single-geometry layout
                 exported = jax_export.deserialize(zf.read("graph.bin"))
-                self._calls[tuple(self._meta["frame_shape"])] = jax.jit(
-                    exported.call
-                )
+                # non-fused artifacts key on the NCHW engine binding;
+                # fused ones on the baked source-frame shape
+                shape = self._meta.get("frame_shape")
+                if shape is None:
+                    n, c, h, w = self._meta["input_shape_nchw"]
+                    shape = (h, w, c)
+                self._calls[tuple(shape)] = jax.jit(exported.call)
                 self._exported = exported
             else:
                 for g in self._meta.get("geometries", []):
