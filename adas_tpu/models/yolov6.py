@@ -7,10 +7,11 @@ yoloDetector.py's v5-contract decode — v6 exports emit
 ``(1, N, 5+nc)`` with objectness ≡ 1):
 
 * ``RepVGGBlock`` — 3×3 + 1×1 + (identity BN) branches summed, ReLU.
-  Kept in training (unfused) structure so released checkpoints map 1:1;
-  deploy-fused checkpoints carry equivalent single-branch weights and
-  should be ingested after meituan's own fuse step inverts (or via the
-  ONNX graph executor).
+  The PARAMETER structure stays training-form so released checkpoints
+  map 1:1, but serving runs the deploy form: ``fuse_repvgg_variables``
+  (switch_to_deploy at facade load) collapses the branches into one
+  3×3 conv per block, and the module emits the single-conv graph
+  whenever the bound tree carries the fused form.
 * ``EfficientRep`` backbone — stem + 4 ER blocks (RepVGG downsample +
   RepBlock), SimSPPF on the last stage.
 * ``RepPANNeck`` — SimConv lateral reductions, ConvTranspose 2×
@@ -70,6 +71,24 @@ class RepVGGBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # deploy form: when the bound tree carries ``fused`` (produced
+        # by fuse_repvgg_variables at load — RepVGG switch_to_deploy,
+        # arXiv:2101.03697), the three branches have been collapsed into
+        # one 3×3 ConvBN with identity BN stats.  One MXU conv instead
+        # of three HBM passes + two adds, and the block becomes a dense
+        # 3×3 conv the int8 policy can serve (the branch form's 1×1 and
+        # BN-only adds defeated conv/quantize fusion).  The TREE decides:
+        # init and train-form ingest keep the branch structure, so
+        # checkpoint mappings and train paths are unchanged.
+        try:
+            deploy = "fused" in self.variables.get("params", {})
+        except ValueError:  # unbound (shape inference contexts)
+            deploy = False
+        if deploy and not train:
+            return ConvBN(
+                self.features, (3, 3), strides=self.strides, act=nn.relu,
+                name="fused",
+            )(x, train)
         dense = ConvBN(
             self.features, (3, 3), strides=self.strides, act=None,
             name="rbr_dense",
@@ -353,3 +372,98 @@ class YoloV6(nn.Module):
         return EffiDeHead(
             self.spec, head_chans, use_dfl=bool(csp_e), name="detect"
         )(feats, train)
+
+
+_REPVGG_EPS = 1e-5  # both torch BatchNorm2d and the flax BNs above
+
+
+def fuse_repvgg_variables(variables: dict) -> dict:
+    """RepVGG ``switch_to_deploy`` on an ingested flax tree.
+
+    Every subtree carrying ``rbr_dense``/``rbr_1x1`` (and optionally
+    ``rbr_identity``) collapses EXACTLY into the single-conv deploy form
+    RepVGGBlock serves when it finds ``fused`` in its bound params: one
+    HWIO 3×3 kernel with the summed branch biases riding an identity BN
+    (scale=1, mean=0, var=1-eps).  Applied once at facade load
+    (perception/object_detector._load_weights) — the serving analogue of
+    what TensorRT's builder does offline with meituan's deploy exports
+    (/root/reference/convertOnnxToTensorRT.py:150-173 builds from the
+    already-fused ONNX).  Non-RepVGG subtrees (BottleRep ``alpha``,
+    heads, plain ConvBNs) pass through untouched.
+    """
+    import numpy as np
+
+    def fold(kern, bnp, bns):
+        t = np.asarray(bnp["scale"], np.float32) / np.sqrt(
+            np.asarray(bns["var"], np.float32) + _REPVGG_EPS
+        )
+        bias = (
+            np.asarray(bnp["bias"], np.float32)
+            - np.asarray(bns["mean"], np.float32) * t
+        )
+        return np.asarray(kern, np.float32) * t, bias
+
+    def fuse_node(p, s):
+        k, b = fold(
+            p["rbr_dense"]["conv"]["kernel"],
+            p["rbr_dense"]["bn"], s["rbr_dense"]["bn"],
+        )
+        k1 = np.pad(
+            np.asarray(p["rbr_1x1"]["conv"]["kernel"], np.float32),
+            ((1, 1), (1, 1), (0, 0), (0, 0)),
+        )
+        ka, ba = fold(k1, p["rbr_1x1"]["bn"], s["rbr_1x1"]["bn"])
+        k, b = k + ka, b + ba
+        if "rbr_identity" in p:
+            cin, cout = k.shape[2], k.shape[3]
+            kid = np.zeros(k.shape, np.float32)
+            kid[1, 1, np.arange(cin), np.arange(cout)] = 1.0
+            ki, bi = fold(kid, p["rbr_identity"], s["rbr_identity"])
+            k, b = k + ki, b + bi
+        o = k.shape[3]
+        pn = {
+            "fused": {
+                "conv": {"kernel": k.astype(np.float32)},
+                "bn": {
+                    "scale": np.ones(o, np.float32),
+                    "bias": b.astype(np.float32),
+                },
+            }
+        }
+        sn = {
+            "fused": {
+                "bn": {
+                    "mean": np.zeros(o, np.float32),
+                    "var": np.full(o, 1.0 - _REPVGG_EPS, np.float32),
+                }
+            }
+        }
+        return pn, sn
+
+    def walk(p, s):
+        if isinstance(p, dict) and "rbr_dense" in p:
+            return fuse_node(p, s if isinstance(s, dict) else {})
+        if not isinstance(p, dict):
+            return p, s
+        keys = set(p) | set(s if isinstance(s, dict) else {})
+        new_p, new_s = {}, {}
+        for key in keys:
+            a, c = walk(
+                p.get(key), s.get(key) if isinstance(s, dict) else None
+            )
+            if a is not None:
+                new_p[key] = a
+            if c is not None and not (isinstance(c, dict) and not c):
+                new_s[key] = c
+        return new_p, new_s
+
+    params = dict(variables.get("params", {}))
+    stats = dict(variables.get("batch_stats", {}))
+    new_params, new_stats = walk(params, stats)
+    out = {
+        k: v for k, v in variables.items()
+        if k not in ("params", "batch_stats")
+    }
+    out["params"] = new_params
+    out["batch_stats"] = new_stats
+    return out

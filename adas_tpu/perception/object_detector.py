@@ -263,6 +263,14 @@ class YoloDetector(ObjectDetectBase):
 
     def _load_weights(self):
         variables = self._load_weights_f32()
+        if self.spec.family == "v6":
+            # serve v6 in RepVGG deploy form: switch_to_deploy at load
+            # (models/yolov6.fuse_repvgg_variables) — one 3×3 MXU conv
+            # per block instead of three branches + adds, and the fused
+            # convs become int8-eligible dense 3×3s
+            from ..models.yolov6 import fuse_repvgg_variables
+
+            variables = fuse_repvgg_variables(variables)
         cd = getattr(self, "compute_dtype", None)
         if cd in ("bf16", "fp16"):
             from ..tools.quantize import cast_params

@@ -119,17 +119,38 @@ class TestYoloV6Parity:
         spec = YoloSpec(
             family="v6", scale=scale, num_classes=nc, input_size=(96, 96)
         )
+        self._assert_both_forms(spec, tnet, x, ref, scale)
+
+    def _assert_both_forms(self, spec, tnet, x, ref, scale):
+        """Train-form tree AND its switch_to_deploy fusion both match
+        the torch oracle — the deploy form is what facades serve."""
+        from adas_tpu.models.yolo import build_yolo
+        from adas_tpu.models.yolov6 import (
+            _V6_CSP_SCALES,
+            fuse_repvgg_variables,
+        )
+        from adas_tpu.tools.yolo_import import yolo_variables
+
         net = build_yolo(spec)
         variables = yolo_variables(_state(tnet), spec)
-        out = np.asarray(
-            jax.jit(lambda v, xi: net.apply(v, xi))(
-                variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
-            )
-        )
+        xin = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
         path = (
             "softmax_head" if scale in _V6_CSP_SCALES else "conv_only"
         )
+        out = np.asarray(
+            jax.jit(lambda v, xi: net.apply(v, xi))(variables, xin)
+        )
         assert_parity(out, ref, path, f"v6{scale}")
+
+        fused = fuse_repvgg_variables(variables)
+        flat = jax.tree_util.tree_leaves_with_path(fused["params"])
+        assert not any(
+            "rbr" in jax.tree_util.keystr(p) for p, _ in flat
+        )
+        out_f = np.asarray(
+            jax.jit(lambda v, xi: net.apply(v, xi))(fused, xin)
+        )
+        assert_parity(out_f, ref, path, f"v6{scale}-deploy")
 
 
 class TestYoloV7Parity:
