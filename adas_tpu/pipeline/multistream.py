@@ -618,3 +618,76 @@ class MultiStreamADAS:
 
     def process_batch(self, frames: np.ndarray) -> List[dict]:
         return self.fetch(self.submit(frames), frames)
+
+    def serve_pipelined(
+        self,
+        batches,
+        depth: int = 3,
+        on_result=None,
+        upload_workers: int = 1,
+    ):
+        """Three-stage software pipeline over a tick iterator.
+
+        Stage 1 (upload thread(s)): host prep + device upload — the
+        tunnel-bound leg.  Stage 2 (caller thread): dispatch the fused
+        step, which is async.  Stage 3 (fetch thread): device→host
+        transfer of the packed outputs + per-stream host analytics
+        (tracker/conditions state mutation stays globally ordered on the
+        single fetch worker).  Steady-state tick cost is max(upload,
+        fetch+analytics, dispatch) instead of their SUM — on a ~40 MB/s
+        tunnel the upload leg is the floor, and fetch+analytics ride
+        inside it.  This is the TPU-serving analogue of the double-
+        buffered CUDA-stream loop the reference's per-frame
+        h2d→execute→d2h never overlaps (coreEngine.py:93-118).
+
+        ``batches``: iterable of (n_streams, H, W, 3) uint8 ticks.
+        ``depth``: max un-fetched device batches (HBM backpressure).
+        ``on_result(tick_index, signals)``: optional callback, invoked
+        on the fetch thread IN ORDER.  Returns the number of ticks.
+        Not available with device_kf (its predict must see the state
+        its own fetch updates — depth-1 semantics, use process_batch).
+        """
+        if self.device_kf:
+            raise RuntimeError(
+                "device_kf requires depth-1 submit/fetch pairing"
+            )
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        if getattr(self, "_fetcher", None) is None:
+            self._fetcher = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="adas-fetch"
+            )
+        if upload_workers > 1 and self._uploader is None:
+            self._uploader = ThreadPoolExecutor(
+                max_workers=int(upload_workers),
+                thread_name_prefix="adas-upload",
+            )
+
+        def fetch_and_report(idx, handle, frames):
+            out = self.fetch(handle, frames)
+            if on_result is not None:
+                on_result(idx, out)
+            return None
+
+        pending = deque()  # (idx, frames, Future[device batch])
+        fetches = deque()  # Futures from the fetch worker
+        n = 0
+        for idx, frames in enumerate(batches):
+            n = idx + 1
+            pending.append((idx, frames, self.prefetch(frames)))
+            if len(pending) >= 2:
+                i, f, fut = pending.popleft()
+                h = self.submit_device(fut.result())
+                fetches.append(
+                    self._fetcher.submit(fetch_and_report, i, h, f)
+                )
+            while len(fetches) > depth:
+                fetches.popleft().result()
+        while pending:
+            i, f, fut = pending.popleft()
+            h = self.submit_device(fut.result())
+            fetches.append(self._fetcher.submit(fetch_and_report, i, h, f))
+        while fetches:
+            fetches.popleft().result()
+        return n

@@ -30,7 +30,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from collections import deque
+
 
 import numpy as np
 
@@ -211,29 +211,17 @@ def _calibrated(variables) -> bool:
 
 
 def _pipelined_fps(ms, batches, depth: int) -> float:
-    """Software-pipelined throughput: uploads run on the prefetch
-    thread (overlapping fetch+analytics on this thread), ``depth``
-    batches in flight on the device."""
+    """Software-pipelined throughput via MultiStreamADAS.serve_pipelined
+    (3 stages: upload thread / dispatch / fetch+analytics thread), so
+    the steady-state tick is max(upload, fetch+analytics) rather than
+    upload + fetch + analytics."""
 
     def run_window() -> float:
         t0 = time.perf_counter()
-        pending = deque()  # (frames, Future[device batch])
-        inflight = deque()  # (frames, step handle)
-        for i in range(N_TICKS):
-            frames = batches[i % len(batches)]
-            pending.append((frames, ms.prefetch(frames)))
-            if len(pending) >= 2:
-                f, fut = pending.popleft()
-                inflight.append((f, ms.submit_device(fut.result())))
-            if len(inflight) >= depth:
-                f, h = inflight.popleft()
-                ms.fetch(h, f)
-        while pending:
-            f, fut = pending.popleft()
-            inflight.append((f, ms.submit_device(fut.result())))
-        while inflight:
-            f, h = inflight.popleft()
-            ms.fetch(h, f)
+        ms.serve_pipelined(
+            (batches[i % len(batches)] for i in range(N_TICKS)),
+            depth=depth,
+        )
         return time.perf_counter() - t0
 
     # best of 5 windows: tunnel throughput to the test chip is noisy

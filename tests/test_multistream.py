@@ -270,3 +270,63 @@ def test_multistream_efficientdet_over_mesh():
     )
     results = ms.process_batch(frames)
     assert len(results) == 8
+
+
+def test_serve_pipelined_matches_sequential():
+    """The 3-stage pipeline (upload thread / dispatch / fetch+analytics
+    thread) produces the SAME ordered per-tick signals as sequential
+    process_batch ticks — overlap must not reorder or corrupt the
+    per-stream tracker/conditions state."""
+
+    def build():
+        yolo = YoloDetector(
+            model_path=None, model_type=ObjectModelType.YOLOV8, scale="n",
+            input_size=(160, 160), box_score=0.25,
+        )
+        lane = UltrafastLaneDetectorV2(
+            model_path=None, model_type=LaneModelType.UFLDV2_TUSIMPLE
+        )
+        return MultiStreamADAS(yolo, lane, 2, frame_hw=(180, 320), mesh=None)
+
+    rng = np.random.default_rng(11)
+    ticks = [
+        rng.integers(0, 255, (2, 180, 320, 3), dtype=np.uint8)
+        for _ in range(4)
+    ]
+
+    def digest(results):
+        return [
+            (
+                [(o.label, round(o.conf, 4)) for o in r["objects"]],
+                r.get("tracks"),
+            )
+            for r in results
+        ]
+
+    ms_seq = build()
+    expected = [digest(ms_seq.process_batch(f)) for f in ticks]
+
+    ms_pipe = build()
+    got = {}
+    n = ms_pipe.serve_pipelined(
+        iter(ticks), depth=2,
+        on_result=lambda i, res: got.__setitem__(i, digest(res)),
+    )
+    assert n == len(ticks)
+    assert sorted(got) == list(range(len(ticks)))  # in-order, complete
+    assert [got[i] for i in range(len(ticks))] == expected
+
+
+def test_serve_pipelined_rejects_device_kf():
+    yolo = YoloDetector(
+        model_path=None, model_type=ObjectModelType.YOLOV8, scale="n",
+        input_size=(160, 160), box_score=0.25,
+    )
+    lane = UltrafastLaneDetectorV2(
+        model_path=None, model_type=LaneModelType.UFLDV2_TUSIMPLE
+    )
+    ms = MultiStreamADAS(
+        yolo, lane, 2, frame_hw=(180, 320), mesh=None, device_kf=True
+    )
+    with pytest.raises(RuntimeError, match="depth-1"):
+        ms.serve_pipelined(iter([]), depth=2)
