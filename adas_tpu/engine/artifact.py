@@ -200,6 +200,96 @@ def pack_spec_meta(pack_spec) -> dict:
     }
 
 
+def _tree_to_json(t):
+    """Pytree-of-ints -> JSON-able descriptor (tuples/lists tagged so
+    the container type survives the round trip)."""
+    if isinstance(t, tuple):
+        return {"__tuple__": [_tree_to_json(x) for x in t]}
+    if isinstance(t, list):
+        return {"__list__": [_tree_to_json(x) for x in t]}
+    if isinstance(t, dict):
+        return {k: _tree_to_json(v) for k, v in t.items()}
+    return int(t)
+
+
+def _tree_from_json(j):
+    if isinstance(j, dict):
+        if "__tuple__" in j and len(j) == 1:
+            return tuple(_tree_from_json(x) for x in j["__tuple__"])
+        if "__list__" in j and len(j) == 1:
+            return [_tree_from_json(x) for x in j["__list__"]]
+        return {k: _tree_from_json(v) for k, v in j.items()}
+    return int(j)
+
+
+def pack_tree_meta(pack_spec) -> dict:
+    """Serialize an ``ops.packing`` spec of ANY pytree shape (dicts,
+    tuples, nests) into artifact metadata; inverse of
+    :func:`pack_spec_from_meta`.  ``pack_spec_meta`` above predates this
+    and handles flat dicts only (kept for the facade artifacts' stable
+    meta layout)."""
+    treedef, shapes = pack_spec
+    indexed = treedef.unflatten(list(range(treedef.num_leaves)))
+    return {
+        "pack_tree": {
+            "tree": _tree_to_json(indexed),
+            "shapes": [[int(d) for d in s] for s, _ in shapes],
+            "dtypes": [str(d) for _, d in shapes],
+        }
+    }
+
+
+def pack_spec_from_meta(meta: dict):
+    """Rebuild the (treedef, [(shape, dtype), ...]) spec ``ops.packing``
+    consumes from :func:`pack_tree_meta` metadata."""
+    m = meta["pack_tree"]
+    template = _tree_from_json(m["tree"])
+    treedef = jax.tree_util.tree_structure(template)
+    shapes = [
+        (tuple(s), np.dtype(d))
+        for s, d in zip(m["shapes"], m["dtypes"])
+    ]
+    return treedef, shapes
+
+
+def build_step_artifact(
+    fn,
+    input_spec,
+    out_path: str,
+    platforms: Optional[Sequence[str]] = None,
+    meta: Optional[dict] = None,
+) -> dict:
+    """Serialize an arbitrary single-input jitted step with its weights
+    baked in — the generalization of the facade fused artifacts beyond
+    ``(h, w, c)`` frames.  Used for the PIPELINE-scale artifact: the
+    whole batched multistream step (uint8 transport batch → packed
+    outputs for N streams) becomes one ``.adas`` file, where TensorRT
+    builds one engine per model (convertOnnxToTensorRT.py:150-173) and
+    leaves the pipeline in Python.  ``frame_shape`` in the metadata
+    carries the full baked input shape (any rank);
+    ``CompiledEngine.run_device`` dispatches on it."""
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = list(platforms)
+    exp = jax_export.export(jax.jit(fn), **kwargs)(input_spec)
+    outs = jax.eval_shape(fn, input_spec)
+    out_leaves, _ = jax.tree_util.tree_flatten(outs)
+    metadata = {
+        "format_version": FORMAT_VERSION,
+        "fused": True,
+        "frame_shape": [int(d) for d in input_spec.shape],
+        "input_dtype": str(np.dtype(input_spec.dtype)),
+        "output_shapes": [[int(d) for d in o.shape] for o in out_leaves],
+        "output_dtypes": [str(o.dtype) for o in out_leaves],
+        "platforms": list(platforms) if platforms else [jax.default_backend()],
+        **(meta or {}),
+    }
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("graph.bin", exp.serialize())
+        zf.writestr("meta.json", json.dumps(metadata, indent=2))
+    return metadata
+
+
 def check_fused_frame(engine, srcimg: np.ndarray) -> jnp.ndarray:
     """Validate a source frame against a fused artifact's baked shapes.
 

@@ -77,6 +77,7 @@ class MultiStreamADAS:
         transport: str = "bgr",
         device_kf: bool = False,
         max_tracks: int = 64,
+        step_artifact: Optional[str] = None,
     ):
         self.yolo = yolo
         self.lane = lane
@@ -101,7 +102,10 @@ class MultiStreamADAS:
         self.streams = [
             StreamState((w, h), yolo.colors_dict) for _ in range(n_streams)
         ]
-        self._step = self._build()
+        if step_artifact is not None:
+            self._step = self._load_step_artifact(step_artifact)
+        else:
+            self._step = self._build()
 
     def _build(self):
         yolo, lane = self.yolo, self.lane
@@ -618,6 +622,78 @@ class MultiStreamADAS:
 
     def process_batch(self, frames: np.ndarray) -> List[dict]:
         return self.fetch(self.submit(frames), frames)
+
+    def _transport_input_shape(self):
+        """Device-input shape of one tick after host prep."""
+        h, w = self.dev_hw
+        if self.transport == "i420":
+            return (self.n_streams, h * 3 // 2, w)
+        return (self.n_streams, h, w, 3)
+
+    def export_fused(self, out_path: str, platforms=None) -> dict:
+        """Serialize the WHOLE pipeline's device work as one ``.adas``
+        engine: uint8 transport batch (all N streams) → packed
+        detections/lanes, with both nets' weights, the preprocess, the
+        decode and the NMS baked in.  TensorRT builds one engine per
+        model and leaves the pipeline in Python
+        (convertOnnxToTensorRT.py:150-173, demo.py:261-320); here the
+        deploy unit IS the pipeline.  Load with
+        ``MultiStreamADAS(..., step_artifact=path)`` — the facades then
+        contribute only host-side decode helpers (class names/colors);
+        every weight serves from the artifact."""
+        if self.device_kf:
+            raise ValueError(
+                "device_kf steps carry per-tick KF state inputs; export "
+                "the host-KF configuration instead"
+            )
+        if self.mesh is not None and self.mesh.size > 1:
+            raise ValueError(
+                "multi-device steps serialize device assignments; "
+                "export from a single-device pipeline (the artifact is "
+                "the per-chip deploy unit)"
+            )
+        from ..engine.artifact import build_step_artifact, pack_tree_meta
+
+        yv, lv = self.yolo.variables, self.lane.variables
+        batched = self._batched
+        fn = lambda x: batched(yv, lv, x)  # noqa: E731
+        spec = jax.ShapeDtypeStruct(self._transport_input_shape(), jnp.uint8)
+        jax.eval_shape(fn, spec)  # records the pack spec
+        return build_step_artifact(
+            fn, spec, out_path, platforms=platforms,
+            meta={
+                "kind": "multistream",
+                "n_streams": self.n_streams,
+                "frame_hw": list(self.frame_hw),
+                "dev_hw": list(self.dev_hw),
+                "transport": self.transport,
+                **pack_tree_meta(self._spec_holder["spec"]),
+            },
+        )
+
+    def _load_step_artifact(self, path: str):
+        """Serve the device step from a pipeline-scale ``.adas`` file
+        (see :meth:`export_fused`); validates the serving config against
+        the baked one."""
+        from ..engine.artifact import CompiledEngine, pack_spec_from_meta
+
+        eng = CompiledEngine(path)
+        m = eng.meta
+        if m.get("kind") != "multistream":
+            raise ValueError(f"{path} is not a multistream artifact")
+        baked = (
+            m["n_streams"], tuple(m["dev_hw"]), m["transport"],
+        )
+        here = (self.n_streams, tuple(self.dev_hw), self.transport)
+        if baked != here:
+            raise ValueError(
+                f"artifact was built for (streams, dev_hw, transport)="
+                f"{baked}, pipeline configured {here}"
+            )
+        self._spec_holder["spec"] = pack_spec_from_meta(m)
+        self._batched = None  # compute probe needs the native graph
+        self._step_engine = eng
+        return lambda yv, lv, x: eng.run_device(x)
 
     def serve_pipelined(
         self,

@@ -72,6 +72,37 @@ def _build_fused(args) -> dict:
     )
 
 
+def _build_multistream(args) -> dict:
+    """Export the WHOLE N-stream pipeline (object net + lane net +
+    preprocess + decode + NMS) as one ``.adas`` deploy unit — see
+    MultiStreamADAS.export_fused."""
+    from ..perception.lane_detector import UltrafastLaneDetectorV2
+    from ..perception.object_detector import YoloDetector
+    from ..pipeline.multistream import MultiStreamADAS
+    from ..utils.types import LaneModelType, ObjectModelType
+
+    yolo = YoloDetector(
+        model_path=args.weights,
+        model_type=ObjectModelType[args.type.upper()],
+        scale=args.scale,
+        input_size=(args.height, args.width),
+        compute_dtype="bf16" if args.fp16 else None,
+    )
+    lane = UltrafastLaneDetectorV2(
+        model_path=args.lane_weights,
+        model_type=LaneModelType[args.lane_type.upper()],
+    )
+    ms = MultiStreamADAS(
+        yolo, lane, args.multistream,
+        frame_hw=(args.frame_height, args.frame_width),
+        host_downscale=(
+            tuple(args.downscale) if args.downscale else None
+        ),
+        transport=args.transport,
+    )
+    return ms.export_fused(args.output, platforms=args.platforms)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(
         description="Build a serialized XLA engine artifact"
@@ -95,7 +126,30 @@ def main() -> None:
                     help="source frame height baked into a fused engine")
     ap.add_argument("--frame-width", type=int, default=1280,
                     help="source frame width baked into a fused engine")
+    ap.add_argument("--multistream", type=int, default=0, metavar="N",
+                    help="export the WHOLE N-stream pipeline (object + "
+                         "lane + decode + NMS) as one engine")
+    ap.add_argument("--lane-type", default="UFLDV2_CULANE",
+                    help="lane model enum for --multistream")
+    ap.add_argument("--lane-weights", default=None,
+                    help="lane .npz weights for --multistream")
+    ap.add_argument("--transport", default="i420", choices=["i420", "bgr"],
+                    help="frame transport baked into a --multistream engine")
+    ap.add_argument("--downscale", type=int, nargs=2, default=None,
+                    metavar=("H", "W"),
+                    help="host pre-resize baked into a --multistream engine")
     args = ap.parse_args()
+
+    if args.multistream:
+        meta = _build_multistream(args)
+        print(f"=== multistream pipeline engine: {args.output}")
+        print(
+            f"  input  {meta['frame_shape']} {meta['input_dtype']} "
+            f"({meta['n_streams']} streams, {meta['transport']})"
+        )
+        print(f"  packed outputs: {meta['output_shapes']}")
+        print(f"  platforms: {meta['platforms']}")
+        return
 
     if args.fused:
         meta = _build_fused(args)

@@ -104,3 +104,30 @@ def test_quantize_cli_calibrate(tmp_path, monkeypatch):
     assert "act_scales" in back
     leaves = jax.tree_util.tree_leaves(back["act_scales"])
     assert leaves and all(float(v) > 0 for v in leaves)
+
+
+@pytest.mark.slow
+def test_build_engine_cli_multistream(tmp_path, monkeypatch, capsys):
+    """--multistream N exports the whole pipeline as one engine and the
+    artifact serves through MultiStreamADAS(step_artifact=...)."""
+    from adas_tpu.tools import build_engine
+
+    out = str(tmp_path / "pipe.adas")
+    _run_main(
+        build_engine,
+        ["-t", "YOLOV8", "--scale", "n", "--height", "160",
+         "--width", "160", "-o", out, "--platforms", "cpu",
+         "--multistream", "2", "--lane-type", "UFLDV2_TUSIMPLE",
+         "--frame-height", "180", "--frame-width", "320",
+         "--downscale", "88", "160"],
+        monkeypatch,
+    )
+    printed = capsys.readouterr().out
+    assert "multistream pipeline engine" in printed
+    assert "(2 streams, i420)" in printed
+
+    from adas_tpu.engine.artifact import CompiledEngine
+
+    eng = CompiledEngine(out)
+    assert eng.meta["kind"] == "multistream"
+    assert tuple(eng.meta["frame_shape"]) == (2, 132, 160)  # 88*3/2 rows

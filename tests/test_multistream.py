@@ -330,3 +330,65 @@ def test_serve_pipelined_rejects_device_kf():
     )
     with pytest.raises(RuntimeError, match="depth-1"):
         ms.serve_pipelined(iter([]), depth=2)
+
+
+def test_multistream_step_artifact_roundtrip(tmp_path):
+    """The WHOLE pipeline's device work serves from one .adas file:
+    export a weighted pipeline, rebuild with facades whose weights are
+    then corrupted, and the artifact-served pipeline still reproduces
+    the exporter's outputs tick for tick — every weight, the preprocess,
+    decode and NMS ride the artifact (the pipeline-scale analogue of the
+    reference's .trt engines, convertOnnxToTensorRT.py:150-173)."""
+    import jax
+
+    def facades():
+        yolo = YoloDetector(
+            model_path=None, model_type=ObjectModelType.YOLOV8, scale="n",
+            input_size=(160, 160), box_score=0.25,
+        )
+        lane = UltrafastLaneDetectorV2(
+            model_path=None, model_type=LaneModelType.UFLDV2_TUSIMPLE
+        )
+        return yolo, lane
+
+    kw = dict(
+        frame_hw=(180, 320), host_downscale=(88, 160), transport="i420",
+    )
+    yolo, lane = facades()
+    ms = MultiStreamADAS(yolo, lane, 2, **kw)
+    path = str(tmp_path / "pipeline.adas")
+    meta = ms.export_fused(path)
+    assert meta["kind"] == "multistream" and "pack_tree" in meta
+
+    rng = np.random.default_rng(21)
+    ticks = [
+        rng.integers(0, 255, (2, 180, 320, 3), dtype=np.uint8)
+        for _ in range(2)
+    ]
+
+    def digest(results):
+        return [
+            (
+                [(o.label, round(o.conf, 4), o.tolist()) for o in r["objects"]],
+                r.get("tracks"),
+            )
+            for r in results
+        ]
+
+    expected = [digest(ms.process_batch(f)) for f in ticks]
+
+    y2, l2 = facades()
+    # corrupt the fresh facades' weights: serving must not consult them
+    y2.variables = jax.tree_util.tree_map(lambda a: a * 0, y2.variables)
+    l2.variables = jax.tree_util.tree_map(lambda a: a * 0, l2.variables)
+    ms2 = MultiStreamADAS(y2, l2, 2, step_artifact=path, **kw)
+    got = [digest(ms2.process_batch(f)) for f in ticks]
+    assert got == expected
+
+    # config mismatch is rejected loudly
+    y3, l3 = facades()
+    with pytest.raises(ValueError, match="artifact was built"):
+        MultiStreamADAS(
+            y3, l3, 4, frame_hw=(180, 320), host_downscale=(88, 160),
+            transport="i420", step_artifact=path,
+        )
