@@ -601,6 +601,11 @@ class MultiStreamADAS:
         the packed output folded into the carry, so XLA can neither hoist
         the body out of the loop nor dead-code it."""
         fn = self._batched
+        if fn is None:
+            raise RuntimeError(
+                "compute probe needs the native graph; this pipeline "
+                "serves a pre-serialized step_artifact"
+            )
         if self.device_kf:
             t, s_ = self.max_tracks, self.n_streams
             kf_zero = (

@@ -81,13 +81,24 @@ def _build_multistream(args) -> dict:
     from ..pipeline.multistream import MultiStreamADAS
     from ..utils.types import LaneModelType, ObjectModelType
 
-    yolo = YoloDetector(
-        model_path=args.weights,
-        model_type=ObjectModelType[args.type.upper()],
-        scale=args.scale,
-        input_size=(args.height, args.width),
-        compute_dtype="bf16" if args.fp16 else None,
-    )
+    by_name = {m.name.upper(): m for m in ObjectModelType}
+    mtype = by_name[args.type.upper()]
+    if mtype is ObjectModelType.EfficientDet:
+        from ..perception.efficientdet_detector import EfficientdetDetector
+
+        yolo = EfficientdetDetector(
+            model_path=args.weights,
+            compound=int(args.scale[-1])
+            if args.scale and args.scale[-1].isdigit() else 0,
+        )
+    else:
+        yolo = YoloDetector(
+            model_path=args.weights,
+            model_type=mtype,
+            scale=args.scale,
+            input_size=(args.height, args.width),
+            compute_dtype="bf16" if args.fp16 else None,
+        )
     lane = UltrafastLaneDetectorV2(
         model_path=args.lane_weights,
         model_type=LaneModelType[args.lane_type.upper()],

@@ -392,3 +392,35 @@ def test_multistream_step_artifact_roundtrip(tmp_path):
             y3, l3, 4, frame_hw=(180, 320), host_downscale=(88, 160),
             transport="i420", step_artifact=path,
         )
+
+
+def test_multistream_artifact_efficientdet(tmp_path):
+    """The pipeline artifact also covers the EfficientDet object side
+    (BASELINE config 5 names both detectors)."""
+    from adas_tpu.perception.efficientdet_detector import (
+        EfficientdetDetector,
+    )
+
+    eff = EfficientdetDetector(
+        model_path=None, compound=0, input_size=128, box_score=0.05,
+    )
+    lane = UltrafastLaneDetectorV2(
+        model_path=None, model_type=LaneModelType.UFLDV2_TUSIMPLE
+    )
+    kw = dict(frame_hw=(180, 320), transport="bgr")
+    ms = MultiStreamADAS(eff, lane, 2, **kw)
+    path = str(tmp_path / "ed_pipe.adas")
+    ms.export_fused(path)
+    frames = np.random.default_rng(4).integers(
+        0, 255, (2, 180, 320, 3), dtype=np.uint8
+    )
+    expected = [
+        [(o.label, round(o.conf, 4)) for o in r["objects"]]
+        for r in ms.process_batch(frames)
+    ]
+    ms2 = MultiStreamADAS(eff, lane, 2, step_artifact=path, **kw)
+    got = [
+        [(o.label, round(o.conf, 4)) for o in r["objects"]]
+        for r in ms2.process_batch(frames)
+    ]
+    assert got == expected and any(len(g) for g in got)
