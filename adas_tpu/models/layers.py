@@ -124,40 +124,47 @@ def quantize_to(x: jnp.ndarray, scale: jnp.ndarray) -> QTensor:
     return QTensor(xq, scale)
 
 
-def s8_group_scale(mod: nn.Module):
+def s8_group_scale(mod: nn.Module, name: str = "concat_xmax"):
     """Serving-time unified activation scale for an s8 CONCAT GROUP —
     TensorRT's int8 concat: every producer feeding one concatenate
     quantizes with a single calibrated scale, the concat happens on
     1-byte data, and the consumer conv reads it with no input quantize
     (the reference's sketched whole-network int8 engine,
     convertOnnxToTensorRT.py:28-99, keeps concats int8 the same way).
+    ``name`` distinguishes multiple groups owned by one module (the PAN
+    neck owns two UNIFIED groups — TRT's scale propagation merges the
+    scales of concats that share a producer, see yolo.YoloBackboneNeck).
     None unless serving calibrated int8 with chaining enabled."""
     if (
         _QUANT_MODE == "int8"
         and _S8_CHAIN
-        and mod.has_variable("act_scales", "concat_xmax")
+        and mod.has_variable("act_scales", name)
     ):
         return (
-            jnp.maximum(
-                mod.get_variable("act_scales", "concat_xmax"), 1e-12
-            )
+            jnp.maximum(mod.get_variable("act_scales", name), 1e-12)
             / 127.0
         )
     return None
 
 
-def s8_group_record(mod: nn.Module, x) -> None:
+def s8_group_record(mod: nn.Module, x, name: str = "concat_xmax") -> None:
     """Calibration-time absmax of the concat group's value (call with
-    the CONCATENATED tensor inside the block that owns the group)."""
+    the CONCATENATED tensor — or, for a unified multi-concat group, the
+    list of every member concat's tensor — inside the block that owns
+    the group).  Declare each ``name`` ONCE per module ``__call__``
+    (flax forbids re-declaring a variable), which is why unified groups
+    pass all their concats in one call."""
     if _QUANT_MODE == "int8_calib" and _S8_CHAIN:
-        if isinstance(x, QTensor):  # pragma: no cover - calib emits bf16
-            x = x.dequant()
+        xs = x if isinstance(x, (list, tuple)) else [x]
         v = mod.variable(
-            "act_scales", "concat_xmax", lambda: jnp.zeros((), jnp.float32)
+            "act_scales", name, lambda: jnp.zeros((), jnp.float32)
         )
-        v.value = jnp.maximum(
-            v.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
-        )
+        m = v.value
+        for xi in xs:
+            if isinstance(xi, QTensor):  # pragma: no cover - calib is bf16
+                xi = xi.dequant()
+            m = jnp.maximum(m, jnp.max(jnp.abs(xi.astype(jnp.float32))))
+        v.value = m
 
 
 def qconcat(parts, axis: int = -1):
@@ -919,7 +926,12 @@ def max_pool_q(x: QTensor, window: int, stride: int, pad: int = 0) -> QTensor:
 
 def resize_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
     """Nearest-neighbor 2x upsample of NHWC, matching torch
-    ``interpolate(mode='nearest', scale_factor=2)``."""
+    ``interpolate(mode='nearest', scale_factor=2)``.  A :class:`QTensor`
+    upsamples in the s8 domain — nearest replication is a gather, so the
+    replicated quantized data IS the quantized replicated value (the PAN
+    neck's top-down upsample rides the 1-byte tensor)."""
+    if isinstance(x, QTensor):
+        return QTensor(resize_nearest_2x(x.data), x.scale)
     b, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
     return x.reshape(b, h * 2, w * 2, c)

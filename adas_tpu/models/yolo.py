@@ -148,7 +148,7 @@ class C3(nn.Module):
     shortcut: bool = True
 
     @nn.compact
-    def __call__(self, x, train=False, emit_q=False):
+    def __call__(self, x, train=False, emit_q=False, emit_scale=None):
         from .layers import qconcat, s8_group_record, s8_group_scale
 
         hidden = self.features // 2
@@ -168,7 +168,7 @@ class C3(nn.Module):
         cat = qconcat([a, b])
         s8_group_record(self, cat)
         return ConvBN(self.features, (1, 1), name="cv3")(
-            cat, train, emit_q=emit_q
+            cat, train, emit_q=emit_q, emit_scale=emit_scale
         )
 
 
@@ -180,7 +180,7 @@ class C2f(nn.Module):
     shortcut: bool = False
 
     @nn.compact
-    def __call__(self, x, train=False, emit_q=False):
+    def __call__(self, x, train=False, emit_q=False, emit_scale=None):
         from .layers import qconcat, s8_group_record, s8_group_scale
 
         hidden = self.features // 2
@@ -206,7 +206,7 @@ class C2f(nn.Module):
         cat = qconcat(parts)
         s8_group_record(self, cat)
         return ConvBN(self.features, (1, 1), name="cv2")(
-            cat, train, emit_q=emit_q
+            cat, train, emit_q=emit_q, emit_scale=emit_scale
         )
 
 
@@ -216,7 +216,7 @@ class SPPF(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x, train=False):
+    def __call__(self, x, train=False, emit_q=False, emit_scale=None):
         from .layers import qconcat, s8_group_record, s8_group_scale
 
         hidden = x.shape[-1] // 2
@@ -230,7 +230,9 @@ class SPPF(nn.Module):
         p3 = max_pool(p2, 5, 1, pad=2)
         cat = qconcat([y, p1, p2, p3])
         s8_group_record(self, cat)
-        return ConvBN(self.features, (1, 1), name="cv2")(cat, train)
+        return ConvBN(self.features, (1, 1), name="cv2")(
+            cat, train, emit_q=emit_q, emit_scale=emit_scale
+        )
 
 
 class SCDown(nn.Module):
@@ -364,7 +366,7 @@ class PSA(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x, train=False):
+    def __call__(self, x, train=False, emit_scale=None):
         hidden = self.features // 2
         y = ConvBN(self.features, (1, 1), name="cv1")(x, train)
         a, b = y[..., :hidden], y[..., hidden:]
@@ -389,7 +391,7 @@ class PSA(nn.Module):
         ffn = ConvBN(C * 2, (1, 1), name="ffn1")(b, train)
         b = b + ConvBN(C, (1, 1), act=None, name="ffn2")(ffn, train)
         return ConvBN(self.features, (1, 1), name="cv2")(
-            jnp.concatenate([a, b], axis=-1), train
+            jnp.concatenate([a, b], axis=-1), train, emit_scale=emit_scale
         )
 
 
@@ -406,6 +408,31 @@ class YoloBackboneNeck(nn.Module):
         v10 = s.family == "v10"
         Block = C3 if s.family == "v5" else C2f
 
+        from .layers import (
+            QTensor,
+            qconcat,
+            quantize_to,
+            s8_group_record,
+            s8_group_scale,
+        )
+
+        # NECK s8 concat groups (TRT int8-concat + scale propagation):
+        # the four PAN concats pair into TWO groups because they share
+        # producers — p5(r) feeds both the fpn4 and pan5 concats, t1(r)
+        # feeds both fpn3 and pan4 — and TRT's scale propagation merges
+        # the scales of concats sharing a tensor.  Group A = {fpn4,
+        # pan5} concats (members p5(r), p4, pan5_down out); group B =
+        # {fpn3, pan4} (members t1(r), p3, pan3 out).  Every member is
+        # a conv epilogue emission (or an explicit fused quantize for
+        # v10's depthwise-ended SCDown), the 2x nearest upsample rides
+        # the s8 bytes (layers.resize_nearest_2x), and the consuming
+        # blocks read the 1-byte concat with no input-quantize pass —
+        # the p3/p4/p5/t1 taps that previously had to stay bf16.  Each
+        # group's absmax is recorded ONCE over both its concats (flax
+        # forbids re-declaring the variable).
+        ga = s8_group_scale(self, "neck_a_xmax")
+        gb = s8_group_scale(self, "neck_b_xmax")
+
         if s.family == "v5":
             x = ConvBN(ch[0], (6, 6), strides=(2, 2), name="stem")(x, train)
         else:
@@ -413,8 +440,7 @@ class YoloBackboneNeck(nn.Module):
         # backbone edges whose consumers are ALL int8 convs chain s8
         # activations (layers._S8_CHAIN): downN -> stageN entry (for C3
         # that is BOTH cv1 and cv2 reading the same QTensor), stage1 ->
-        # down2, stage4 -> sppf.cv1.  Taps with non-conv consumers
-        # (p3/p4 feed the neck concats, which need bf16) stay unchained.
+        # down2, stage4 -> sppf.cv1.
         x = ConvBN(ch[1], (3, 3), strides=(2, 2), name="down1")(
             x, train, emit_q=True
         )
@@ -422,14 +448,20 @@ class YoloBackboneNeck(nn.Module):
         x = ConvBN(ch[2], (3, 3), strides=(2, 2), name="down2")(
             x, train, emit_q=True
         )
-        p3 = Block(ch[2], d[1], True, name="stage2")(x, train)
+        # p3's QTensor (group B scale) serves BOTH consumers: down3 and
+        # the fpn3 concat; likewise p4 (group A) serves down4 + fpn4
+        p3 = Block(ch[2], d[1], True, name="stage2")(
+            x, train, emit_scale=gb
+        )
         if v10:
             x = SCDown(ch[3], name="down3")(p3, train)
         else:
             x = ConvBN(ch[3], (3, 3), strides=(2, 2), name="down3")(
                 p3, train, emit_q=True
             )
-        p4 = Block(ch[3], d[2], True, name="stage3")(x, train)
+        p4 = Block(ch[3], d[2], True, name="stage3")(
+            x, train, emit_scale=ga
+        )
         if v10:
             x = SCDown(ch[4], name="down4")(p4, train)
             lk = v10_lk_flags(s)
@@ -447,56 +479,89 @@ class YoloBackboneNeck(nn.Module):
                 p4, train, emit_q=True
             )
             x = Block(ch[4], d[3], True, name="stage4")(x, train, emit_q=True)
-        p5 = SPPF(ch[4], name="sppf")(x, train)
         if v10:
-            p5 = PSA(ch[4], name="psa")(p5, train)
+            # sppf -> psa.cv1 is a single-consumer conv edge (emit_q);
+            # the PSA exit then emits at the group A scale
+            p5 = SPPF(ch[4], name="sppf")(x, train, emit_q=True)
+            p5 = PSA(ch[4], name="psa")(p5, train, emit_scale=ga)
+        elif s.family == "v5":
+            # v5 reduces channels via lat5 before the concats — SPPF
+            # chains into it per-producer, lat5 emits at the group scale
+            p5 = SPPF(ch[4], name="sppf")(x, train, emit_q=True)
+        else:
+            p5 = SPPF(ch[4], name="sppf")(x, train, emit_scale=ga)
 
         # PAN neck
+        rec_a: list = []  # group A concat values (calibration record)
+        rec_b: list = []
         if s.family == "v5":
             # v5 reduces channels before upsampling
-            p5r = ConvBN(ch[3], (1, 1), name="lat5")(p5, train)
-            y = jnp.concatenate([resize_nearest_2x(p5r), p4], axis=-1)
-            t1 = C3(ch[3], d[0], False, name="fpn4")(y, train)
-            t1r = ConvBN(ch[2], (1, 1), name="lat4")(t1, train)
-            y = jnp.concatenate([resize_nearest_2x(t1r), p3], axis=-1)
+            p5r = ConvBN(ch[3], (1, 1), name="lat5")(
+                p5, train, emit_scale=ga
+            )
+            y = qconcat([resize_nearest_2x(p5r), p4])
+            rec_a.append(y)
+            t1 = C3(ch[3], d[0], False, name="fpn4")(y, train, emit_q=True)
+            t1r = ConvBN(ch[2], (1, 1), name="lat4")(
+                t1, train, emit_scale=gb
+            )
+            y = qconcat([resize_nearest_2x(t1r), p3])
+            rec_b.append(y)
             n3 = C3(ch[2], d[0], False, name="fpn3")(y, train)
-            y = ConvBN(ch[2], (3, 3), strides=(2, 2), name="pan3")(n3, train)
-            n4 = C3(ch[3], d[0], False, name="pan4")(
-                jnp.concatenate([y, t1r], axis=-1), train
+            y = ConvBN(ch[2], (3, 3), strides=(2, 2), name="pan3")(
+                n3, train, emit_scale=gb
             )
+            y = qconcat([y, t1r])
+            rec_b.append(y)
+            n4 = C3(ch[3], d[0], False, name="pan4")(y, train)
             y = ConvBN(ch[3], (3, 3), strides=(2, 2), name="pan5_down")(
-                n4, train
+                n4, train, emit_scale=ga
             )
-            n5 = C3(ch[4], d[0], False, name="pan5")(
-                jnp.concatenate([y, p5r], axis=-1), train
-            )
+            y = qconcat([y, p5r])
+            rec_a.append(y)
+            n5 = C3(ch[4], d[0], False, name="pan5")(y, train)
         else:
-            y = jnp.concatenate([resize_nearest_2x(p5), p4], axis=-1)
-            t1 = C2f(ch[3], d[0], False, name="fpn4")(y, train)
-            y = jnp.concatenate([resize_nearest_2x(t1), p3], axis=-1)
+            y = qconcat([resize_nearest_2x(p5), p4])
+            rec_a.append(y)
+            t1 = C2f(ch[3], d[0], False, name="fpn4")(
+                y, train, emit_scale=gb
+            )
+            y = qconcat([resize_nearest_2x(t1), p3])
+            rec_b.append(y)
             n3 = C2f(ch[2], d[0], False, name="fpn3")(y, train)
-            y = ConvBN(ch[2], (3, 3), strides=(2, 2), name="pan3")(n3, train)
+            y = ConvBN(ch[2], (3, 3), strides=(2, 2), name="pan3")(
+                n3, train, emit_scale=gb
+            )
             lk = v10_lk_flags(s) if v10 else (False, False, False)
+            y = qconcat([y, t1])
+            rec_b.append(y)
             if v10 and s.scale not in ("n", "s"):
                 n4 = C2fCIB(ch[3], d[0], v10, lk=lk[1], name="pan4")(
-                    jnp.concatenate([y, t1], axis=-1), train
+                    y, train
                 )
             else:
-                n4 = C2f(ch[3], d[0], v10, name="pan4")(
-                    jnp.concatenate([y, t1], axis=-1), train
-                )
+                n4 = C2f(ch[3], d[0], v10, name="pan4")(y, train)
             if v10:
                 y = SCDown(ch[3], name="pan5_down")(n4, train)
+                # SCDown is depthwise-ended (cannot emit from a conv
+                # epilogue) — the group quantize fuses into its
+                # elementwise chain instead, as C2fCIB does for CIBs
+                if ga is not None and not isinstance(y, QTensor):
+                    y = quantize_to(y, ga)
+                y = qconcat([y, p5])
+                rec_a.append(y)
                 n5 = C2fCIB(ch[4], d[0], True, lk=lk[2], name="pan5")(
-                    jnp.concatenate([y, p5], axis=-1), train
+                    y, train
                 )
             else:
                 y = ConvBN(ch[3], (3, 3), strides=(2, 2), name="pan5_down")(
-                    n4, train
+                    n4, train, emit_scale=ga
                 )
-                n5 = C2f(ch[4], d[0], False, name="pan5")(
-                    jnp.concatenate([y, p5], axis=-1), train
-                )
+                y = qconcat([y, p5])
+                rec_a.append(y)
+                n5 = C2f(ch[4], d[0], False, name="pan5")(y, train)
+        s8_group_record(self, rec_a, name="neck_a_xmax")
+        s8_group_record(self, rec_b, name="neck_b_xmax")
         return n3, n4, n5
 
 
