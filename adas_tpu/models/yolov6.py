@@ -70,7 +70,8 @@ class RepVGGBlock(nn.Module):
     strides: Tuple[int, int] = (1, 1)
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, emit_q: bool = False,
+                 emit_scale=None):
         # deploy form: when the bound tree carries ``fused`` (produced
         # by fuse_repvgg_variables at load — RepVGG switch_to_deploy,
         # arXiv:2101.03697), the three branches have been collapsed into
@@ -80,6 +81,10 @@ class RepVGGBlock(nn.Module):
         # BN-only adds defeated conv/quantize fusion).  The TREE decides:
         # init and train-form ingest keep the branch structure, so
         # checkpoint mappings and train paths are unchanged.
+        # ``emit_q``/``emit_scale`` reach the deploy conv's epilogue
+        # (s8-chained output); the branch form ignores them — the sum
+        # of three branches is not a conv epilogue, and callers fall
+        # back to an explicit quantize (or bf16) when needed.
         try:
             deploy = "fused" in self.variables.get("params", {})
         except ValueError:  # unbound (shape inference contexts)
@@ -88,7 +93,7 @@ class RepVGGBlock(nn.Module):
             return ConvBN(
                 self.features, (3, 3), strides=self.strides, act=nn.relu,
                 name="fused",
-            )(x, train)
+            )(x, train, emit_q=emit_q, emit_scale=emit_scale)
         dense = ConvBN(
             self.features, (3, 3), strides=self.strides, act=None,
             name="rbr_dense",
@@ -114,10 +119,23 @@ class RepBlock(nn.Module):
     n: int = 1
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = RepVGGBlock(self.features, name="conv1")(x, train)
-        for i in range(self.n - 1):
-            x = RepVGGBlock(self.features, name=f"block{i}")(x, train)
+    def __call__(self, x, train: bool = False, emit_q: bool = False,
+                 emit_scale=None):
+        # deploy form is a LINEAR chain of dense 3×3 convs — every
+        # internal edge is single-consumer conv→conv, so the whole
+        # block rides s8 end to end (TRT's whole-network int8,
+        # convertOnnxToTensorRT.py:28-99); the exit emits per the
+        # caller's flags
+        last = self.n - 1
+        x = RepVGGBlock(self.features, name="conv1")(
+            x, train, emit_q=(last > 0) or emit_q,
+            emit_scale=None if last > 0 else emit_scale,
+        )
+        for i in range(last):
+            x = RepVGGBlock(self.features, name=f"block{i}")(
+                x, train, emit_q=(i < last - 1) or emit_q,
+                emit_scale=None if i < last - 1 else emit_scale,
+            )
         return x
 
 
@@ -130,7 +148,10 @@ class BottleRep(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = RepVGGBlock(self.features, name="conv1")(x, train)
+        # conv1 → conv2 is a clean conv edge (s8); conv2's output joins
+        # the weighted residual, so it stays bf16 (QTensor cannot ride
+        # the add)
+        y = RepVGGBlock(self.features, name="conv1")(x, train, emit_q=True)
         y = RepVGGBlock(self.features, name="conv2")(y, train)
         if x.shape[-1] == self.features:
             alpha = self.param(
@@ -152,16 +173,28 @@ class BepC3(nn.Module):
     e: float = 0.5
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, emit_q: bool = False,
+                 emit_scale=None):
+        from .layers import (
+            QTensor, qconcat, quantize_to, s8_group_record, s8_group_scale,
+        )
+
         c_ = int(self.features * self.e)
-        a = SimConv(c_, name="cv1")(x, train)
-        b = SimConv(c_, name="cv2")(x, train)
+        gscale = s8_group_scale(self)
+        a = SimConv(c_, name="cv1")(x, train, emit_q=True)
+        b = SimConv(c_, name="cv2")(x, train, emit_scale=gscale)
         # RepBlock(block=BottleRep): conv1 + (n//2 - 1) inner blocks
         a = BottleRep(c_, name="m_conv1")(a, train)
         for i in range(self.n // 2 - 1):
             a = BottleRep(c_, name=f"m_block{i}")(a, train)
+        # the BottleRep exit is a residual add, not a conv epilogue —
+        # the group quantize fuses into its elementwise chain instead
+        if gscale is not None and not isinstance(a, QTensor):
+            a = quantize_to(a, gscale)
+        cat = qconcat([a, b])
+        s8_group_record(self, cat)
         return SimConv(self.features, name="cv3")(
-            jnp.concatenate([a, b], axis=-1), train
+            cat, train, emit_q=emit_q, emit_scale=emit_scale
         )
 
 
@@ -181,14 +214,23 @@ class SimSPPF(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, emit_q: bool = False,
+                 emit_scale=None):
+        from .layers import qconcat, s8_group_record, s8_group_scale
+
         hidden = x.shape[-1] // 2
-        y = SimConv(hidden, name="cv1")(x, train)
+        gscale = s8_group_scale(self)
+        # s8 concat group (same shape as yolo.SPPF): cv1 emits at the
+        # group scale, the max pools commute with the positive dequant
+        # scale, cv2 reads the 1-byte concat with no input quantize
+        y = SimConv(hidden, name="cv1")(x, train, emit_scale=gscale)
         p1 = max_pool(y, 5, 1, pad=2)
         p2 = max_pool(p1, 5, 1, pad=2)
         p3 = max_pool(p2, 5, 1, pad=2)
+        cat = qconcat([y, p1, p2, p3])
+        s8_group_record(self, cat)
         return SimConv(self.features, name="cv2")(
-            jnp.concatenate([y, p1, p2, p3], axis=-1), train
+            cat, train, emit_q=emit_q, emit_scale=emit_scale
         )
 
 
@@ -205,6 +247,14 @@ class TransposeUp(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from .layers import QTensor
+
+        if isinstance(x, QTensor):
+            # the lateral SimConv emits s8 for its CONCAT consumer (the
+            # f0/f1 taps feed both a concat group and this transpose);
+            # ConvTranspose is outside the int8 policy — take the bf16
+            # view
+            x = x.dequant()
         return nn.ConvTranspose(
             self.features, (2, 2), strides=(2, 2), padding="VALID",
             transpose_kernel=True, name="upsample_transpose",
@@ -226,19 +276,36 @@ class EfficientRep(nn.Module):
         return RepBlock(c, n, name=name)
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, emit_p3=None, emit_p4=None):
+        """``emit_p3``/``emit_p4``: neck concat-group scales (owned by
+        :class:`YoloV6`, see there) — the p3/p4 taps emit s8 at them so
+        BOTH consumers (the next downsample conv and the PAN concat)
+        read 1-byte data.  Deploy form chains s8 through every other
+        backbone edge: each is single-consumer conv→conv."""
         c = self.chans
         r = self.reps
         x = RepVGGBlock(c[0], strides=(2, 2), name="stem")(x, train)
-        x = RepVGGBlock(c[1], strides=(2, 2), name="ERBlock_2_0")(x, train)
-        x = self._stage(c[1], r[1], "ERBlock_2_1")(x, train)
-        x = RepVGGBlock(c[2], strides=(2, 2), name="ERBlock_3_0")(x, train)
-        p3 = self._stage(c[2], r[2], "ERBlock_3_1")(x, train)
-        x = RepVGGBlock(c[3], strides=(2, 2), name="ERBlock_4_0")(p3, train)
-        p4 = self._stage(c[3], r[3], "ERBlock_4_1")(x, train)
-        x = RepVGGBlock(c[4], strides=(2, 2), name="ERBlock_5_0")(p4, train)
-        x = self._stage(c[4], r[4], "ERBlock_5_1")(x, train)
-        p5 = SimSPPF(c[4], name="ERBlock_5_2")(x, train)
+        x = RepVGGBlock(c[1], strides=(2, 2), name="ERBlock_2_0")(
+            x, train, emit_q=True
+        )
+        x = self._stage(c[1], r[1], "ERBlock_2_1")(x, train, emit_q=True)
+        x = RepVGGBlock(c[2], strides=(2, 2), name="ERBlock_3_0")(
+            x, train, emit_q=True
+        )
+        p3 = self._stage(c[2], r[2], "ERBlock_3_1")(
+            x, train, emit_scale=emit_p3
+        )
+        x = RepVGGBlock(c[3], strides=(2, 2), name="ERBlock_4_0")(
+            p3, train, emit_q=True
+        )
+        p4 = self._stage(c[3], r[3], "ERBlock_4_1")(
+            x, train, emit_scale=emit_p4
+        )
+        x = RepVGGBlock(c[4], strides=(2, 2), name="ERBlock_5_0")(
+            p4, train, emit_q=True
+        )
+        x = self._stage(c[4], r[4], "ERBlock_5_1")(x, train, emit_q=True)
+        p5 = SimSPPF(c[4], name="ERBlock_5_2")(x, train, emit_q=True)
         return p3, p4, p5
 
 
@@ -256,32 +323,61 @@ class RepPANNeck(nn.Module):
         return RepBlock(c, n, name=name)
 
     @nn.compact
-    def __call__(self, feats, train: bool = False):
+    def __call__(self, feats, train: bool = False, group_scales=None,
+                 record=None):
+        """``group_scales``: the four neck concat-group scales (owned by
+        :class:`YoloV6`); ``record``: plain dict the caller passes
+        during calibration — each concat's value lands under its group
+        name so the OWNER can record all groups once (flax forbids
+        declaring a variable from a non-owning scope)."""
+        from .layers import QTensor, qconcat, quantize_to
+
         p3, p4, p5 = feats
         c = self.chans
         r = self.reps
-        f0 = SimConv(c[5], name="reduce_layer0")(p5, train)
-        up0 = TransposeUp(c[5], name="upsample0")(f0)
-        x = self._stage(c[5], r[5], "Rep_p4")(
-            jnp.concatenate([up0, p4], axis=-1), train
+        gs = group_scales or {}
+
+        def gq(y, name):
+            # concat member not produced by a conv epilogue (the
+            # ConvTranspose upsamples): explicit quantize to the group
+            # scale — XLA fuses it into the producer's elementwise chain
+            s = gs.get(name)
+            if s is not None and not isinstance(y, QTensor):
+                y = quantize_to(y, s)
+            return y
+
+        def rec(y, name):
+            if record is not None:
+                record.setdefault(name, []).append(y)
+            return y
+
+        # f0/f1 feed BOTH a transpose upsample (int8-ineligible — it
+        # dequants, TransposeUp) and a concat group: emit at the group
+        # scale so the concat rides s8
+        f0 = SimConv(c[5], name="reduce_layer0")(
+            p5, train, emit_scale=gs.get("neck_n4_xmax")
         )
-        f1 = SimConv(c[6], name="reduce_layer1")(x, train)
-        up1 = TransposeUp(c[6], name="upsample1")(f1)
-        out_p3 = self._stage(c[6], r[6], "Rep_p3")(
-            jnp.concatenate([up1, p3], axis=-1), train
+        up0 = gq(TransposeUp(c[5], name="upsample0")(f0), "neck_p4_xmax")
+        y = rec(qconcat([up0, gq(p4, "neck_p4_xmax")]), "neck_p4_xmax")
+        x = self._stage(c[5], r[5], "Rep_p4")(y, train, emit_q=True)
+        f1 = SimConv(c[6], name="reduce_layer1")(
+            x, train, emit_scale=gs.get("neck_n3_xmax")
         )
+        up1 = gq(TransposeUp(c[6], name="upsample1")(f1), "neck_p3_xmax")
+        y = rec(qconcat([up1, gq(p3, "neck_p3_xmax")]), "neck_p3_xmax")
+        # out_p3/out_n3 have TWO conv consumers (downsample + head
+        # stem) reading the same s8 tensor at the producer's scale
+        out_p3 = self._stage(c[6], r[6], "Rep_p3")(y, train, emit_q=True)
         d2 = SimConv(c[7], (3, 3), strides=(2, 2), name="downsample2")(
-            out_p3, train
+            out_p3, train, emit_scale=gs.get("neck_n3_xmax")
         )
-        out_n3 = self._stage(c[8], r[7], "Rep_n3")(
-            jnp.concatenate([d2, f1], axis=-1), train
-        )
+        y = rec(qconcat([d2, f1]), "neck_n3_xmax")
+        out_n3 = self._stage(c[8], r[7], "Rep_n3")(y, train, emit_q=True)
         d1 = SimConv(c[9], (3, 3), strides=(2, 2), name="downsample1")(
-            out_n3, train
+            out_n3, train, emit_scale=gs.get("neck_n4_xmax")
         )
-        out_n4 = self._stage(c[10], r[8], "Rep_n4")(
-            jnp.concatenate([d1, f0], axis=-1), train
-        )
+        y = rec(qconcat([d1, f0]), "neck_n4_xmax")
+        out_n4 = self._stage(c[10], r[8], "Rep_n4")(y, train, emit_q=True)
         return out_p3, out_n3, out_n4
 
 
@@ -311,7 +407,13 @@ class EffiDeHead(nn.Module):
         outs = []
         for li, f in enumerate(feats):
             ch = self.head_chans[li]
-            stem = ConvBN(ch, (1, 1), act=_silu, name=f"stem{li}")(f, train)
+            # neck exits arrive s8 (emit_q); the stem emits s8 for its
+            # two conv consumers (cls/reg 3×3) — the 1×1 predictors are
+            # plain nn.Conv outside the int8 policy, so cls/reg outputs
+            # stay bf16
+            stem = ConvBN(ch, (1, 1), act=_silu, name=f"stem{li}")(
+                f, train, emit_q=True
+            )
             cls = ConvBN(ch, (3, 3), act=_silu, name=f"cls_conv{li}")(
                 stem, train
             )
@@ -361,13 +463,35 @@ class YoloV6(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from .layers import s8_group_record, s8_group_scale
+
         scale = self.spec.scale
         chans, reps = v6_plan(scale)
         csp_e = (
             _V6_CSP_SCALES[scale][2] if scale in _V6_CSP_SCALES else 0.0
         )
-        feats = EfficientRep(chans, reps, csp_e, name="backbone")(x, train)
-        feats = RepPANNeck(chans, reps, csp_e, name="neck")(feats, train)
+        # NECK s8 concat groups (TRT int8-concat): four independent
+        # groups, one per PAN concat — no producer feeds two concats
+        # here (the f0/f1 taps reach the opposite concat only THROUGH
+        # the transpose upsample, which transforms the tensor, so
+        # TRT's scale propagation would not merge them).  Members span
+        # module scopes (backbone p3/p4 taps, neck laterals), so THIS
+        # module owns the group variables and the submodules emit /
+        # record through explicit plumbing.
+        names = (
+            "neck_p4_xmax", "neck_p3_xmax", "neck_n3_xmax", "neck_n4_xmax"
+        )
+        gs = {n: s8_group_scale(self, n) for n in names}
+        recs: dict = {}
+        feats = EfficientRep(chans, reps, csp_e, name="backbone")(
+            x, train, emit_p3=gs["neck_p3_xmax"], emit_p4=gs["neck_p4_xmax"]
+        )
+        feats = RepPANNeck(chans, reps, csp_e, name="neck")(
+            feats, train, group_scales=gs, record=recs
+        )
+        for n in names:
+            if recs.get(n):
+                s8_group_record(self, recs[n], name=n)
         head_chans = (chans[6], chans[8], chans[10])
         return EffiDeHead(
             self.spec, head_chans, use_dfl=bool(csp_e), name="detect"

@@ -729,6 +729,75 @@ class TestS8ConcatGroups:
         # group scale is the concat's own calibrated absmax)
         assert err_on < err_off * 1.3 + 1e-4, (err_on, err_off)
 
+    def test_v6_deploy_whole_net_s8(self, rng):
+        """YOLOv6 deploy form (RepVGG switch_to_deploy at load) chains
+        s8 through essentially the WHOLE network: every edge is
+        conv→conv, the four PAN concats ride independent neck group
+        scales owned by YoloV6, SimSPPF carries a block-local group,
+        and only the Cin=3 stem serves bf16 (models/yolov6.py)."""
+        from adas_tpu.models import layers as L
+        from adas_tpu.models.yolo import YoloSpec, build_yolo
+        from adas_tpu.models.yolov6 import fuse_repvgg_variables
+        from adas_tpu.tools.quantize import calibrate_act_scales
+
+        spec = YoloSpec(
+            family="v6", scale="s", num_classes=80, input_size=(96, 96),
+        )
+        net = build_yolo(spec)
+        x = jnp.asarray(rng.standard_normal((1, 96, 96, 3)), jnp.float32)
+        v = fuse_repvgg_variables(
+            net.init(jax.random.PRNGKey(0), x)
+        )
+        f32 = np.asarray(net.apply(v, x), np.float32)
+        cal = calibrate_act_scales(
+            lambda vv, xi: net.apply(vv, xi, mutable=["act_scales"]),
+            v, [x],
+        )
+        groups = [
+            str(p)
+            for p, _ in jax.tree_util.tree_leaves_with_path(
+                cal["act_scales"]
+            )
+            if "xmax" in str(p)
+        ]
+        for name in (
+            "neck_p4_xmax", "neck_p3_xmax", "neck_n3_xmax", "neck_n4_xmax",
+        ):
+            assert any(name in g for g in groups), (name, groups)
+
+        L.reset_trace_stats()
+
+        def f(vv, xx):
+            with quantized("int8"):
+                return net.apply(vv, xx)
+
+        jax.jit(f).lower(cal, x)  # trace only
+        stats = L.trace_stats()
+        # 4 neck groups + SimSPPF group concat in the s8 domain
+        assert stats["s8_group_concats"] >= 5, stats
+        # whole-net chain: all but a handful of int8 convs read s8
+        assert stats["int8_convs"] >= 45, stats
+        assert stats["s8_consumes"] >= stats["int8_convs"] - 2, stats
+        assert stats["bf16_convs"] <= 1, stats
+
+        # accuracy yardstick is unchained calibrated int8 (the f32 gap
+        # itself is set by random-weight quantization, not by chaining)
+        def int8_out():
+            return np.asarray(jax.jit(f)(cal, x), np.float32)
+
+        prev = L._S8_CHAIN
+        try:
+            L.set_s8_chain(False)
+            off = int8_out()
+            L.set_s8_chain(True)
+            on = int8_out()
+        finally:
+            L.set_s8_chain(prev)
+        scale_m = np.abs(f32).mean()
+        err_off = np.abs(off - f32).mean() / scale_m
+        err_on = np.abs(on - f32).mean() / scale_m
+        assert err_on < err_off * 1.3 + 1e-4, (err_on, err_off)
+
     def test_sppf_pools_commute_with_quantize(self, rng):
         """max_pool_q(s8) == quantize(max_pool(dequant)) exactly."""
         from adas_tpu.models.layers import QTensor, max_pool, max_pool_q
