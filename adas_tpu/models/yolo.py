@@ -528,7 +528,14 @@ class YoloBackboneNeck(nn.Module):
             )
             y = qconcat([resize_nearest_2x(t1), p3])
             rec_b.append(y)
-            n3 = C2f(ch[2], d[0], False, name="fpn3")(y, train)
+            # v8 neck exits emit s8 for their conv consumers (the pan
+            # downsamples AND the head's dense 3x3 entry convs).  v10's
+            # head opens with a DEPTHWISE cls conv (int8-ineligible —
+            # it would dequant), so its exits stay bf16.
+            emit_feats = not v10
+            n3 = C2f(ch[2], d[0], False, name="fpn3")(
+                y, train, emit_q=emit_feats
+            )
             y = ConvBN(ch[2], (3, 3), strides=(2, 2), name="pan3")(
                 n3, train, emit_scale=gb
             )
@@ -540,7 +547,9 @@ class YoloBackboneNeck(nn.Module):
                     y, train
                 )
             else:
-                n4 = C2f(ch[3], d[0], v10, name="pan4")(y, train)
+                n4 = C2f(ch[3], d[0], v10, name="pan4")(
+                    y, train, emit_q=emit_feats
+                )
             if v10:
                 y = SCDown(ch[3], name="pan5_down")(n4, train)
                 # SCDown is depthwise-ended (cannot emit from a conv
@@ -559,7 +568,9 @@ class YoloBackboneNeck(nn.Module):
                 )
                 y = qconcat([y, p5])
                 rec_a.append(y)
-                n5 = C2f(ch[4], d[0], False, name="pan5")(y, train)
+                n5 = C2f(ch[4], d[0], False, name="pan5")(
+                    y, train, emit_q=emit_feats
+                )
         s8_group_record(self, rec_a, name="neck_a_xmax")
         s8_group_record(self, rec_b, name="neck_b_xmax")
         return n3, n4, n5
@@ -607,7 +618,12 @@ class DetectHeadV8(nn.Module):
         c3 = max(s.channels[2], min(nc, 100))
         outs = []
         for li, f in enumerate(feats):
-            box = ConvBN(c2, (3, 3), name=f"box{self.suffix}{li}_0")(f, train)
+            # box0→box1 / cls0→cls1 are single-consumer conv→conv edges
+            # (s8 chain); the 1x1 predictors are plain nn.Conv outside
+            # the int8 policy, so the branch tails stay bf16
+            box = ConvBN(c2, (3, 3), name=f"box{self.suffix}{li}_0")(
+                f, train, emit_q=True
+            )
             box = ConvBN(c2, (3, 3), name=f"box{self.suffix}{li}_1")(box, train)
             box = nn.Conv(
                 4 * s.reg_max, (1, 1), name=f"box{self.suffix}{li}_2"
@@ -628,7 +644,7 @@ class DetectHeadV8(nn.Module):
                 )
             else:
                 cls = ConvBN(c3, (3, 3), name=f"cls{self.suffix}{li}_0")(
-                    f, train
+                    f, train, emit_q=True
                 )
                 cls = ConvBN(c3, (3, 3), name=f"cls{self.suffix}{li}_1")(
                     cls, train

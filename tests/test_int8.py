@@ -798,6 +798,66 @@ class TestS8ConcatGroups:
         err_on = np.abs(on - f32).mean() / scale_m
         assert err_on < err_off * 1.3 + 1e-4, (err_on, err_off)
 
+    def test_v9_gelan_s8_groups(self, rng):
+        """YOLOv9 (GELAN): every RepNCSPELAN4/RepNCSP/SPPELAN concat is
+        a block-local s8 group, ADown concats emit at the consumer's
+        scale, and the PAN concats ride the same two unified neck
+        groups as v8 (p5 and t1 each feed two concats —
+        models/yolov9.py)."""
+        from adas_tpu.models import layers as L
+        from adas_tpu.models.yolo import YoloSpec, build_yolo
+        from adas_tpu.tools.quantize import calibrate_act_scales
+
+        spec = YoloSpec(
+            family="v9", scale="c", num_classes=80, input_size=(96, 96),
+        )
+        net = build_yolo(spec)
+        x = jnp.asarray(rng.standard_normal((1, 96, 96, 3)), jnp.float32)
+        v = net.init(jax.random.PRNGKey(0), x)
+        f32 = np.asarray(net.apply(v, x), np.float32)
+        cal = calibrate_act_scales(
+            lambda vv, xi: net.apply(vv, xi, mutable=["act_scales"]),
+            v, [x],
+        )
+        groups = [
+            str(p)
+            for p, _ in jax.tree_util.tree_leaves_with_path(
+                cal["act_scales"]
+            )
+            if "xmax" in str(p)
+        ]
+        assert any("neck_a_xmax" in g for g in groups), groups
+        assert any("neck_b_xmax" in g for g in groups), groups
+
+        L.reset_trace_stats()
+
+        def f(vv, xx):
+            with quantized("int8"):
+                return net.apply(vv, xx)
+
+        jax.jit(f).lower(cal, x)  # trace only
+        stats = L.trace_stats()
+        # 8 ELAN + 16 RepNCSP + SPPELAN + 3 backbone ADown + 4 PAN
+        # concats in the s8 domain
+        assert stats["s8_group_concats"] >= 30, stats
+        assert stats["s8_consumes"] >= 40, stats
+
+        def int8_out():
+            return np.asarray(jax.jit(f)(cal, x), np.float32)
+
+        prev = L._S8_CHAIN
+        try:
+            L.set_s8_chain(False)
+            off = int8_out()
+            L.set_s8_chain(True)
+            on = int8_out()
+        finally:
+            L.set_s8_chain(prev)
+        scale_m = np.abs(f32).mean()
+        err_off = np.abs(off - f32).mean() / scale_m
+        err_on = np.abs(on - f32).mean() / scale_m
+        assert err_on < err_off * 1.3 + 1e-4, (err_on, err_off)
+
     def test_sppf_pools_commute_with_quantize(self, rng):
         """max_pool_q(s8) == quantize(max_pool(dequant)) exactly."""
         from adas_tpu.models.layers import QTensor, max_pool, max_pool_q
