@@ -148,7 +148,8 @@ class SPPv5(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, emit_q: bool = False,
+                 emit_scale=None):
         from .layers import (
             max_pool,
             qconcat,
@@ -162,7 +163,9 @@ class SPPv5(nn.Module):
         pools = [max_pool(y, k, 1, pad=k // 2) for k in (5, 9, 13)]
         cat = qconcat([y, *pools])
         s8_group_record(self, cat)
-        return ConvBN(self.features, (1, 1), name="cv2")(cat, train)
+        return ConvBN(self.features, (1, 1), name="cv2")(
+            cat, train, emit_q=emit_q, emit_scale=emit_scale
+        )
 
 
 class RepBackbone(nn.Module):
@@ -182,22 +185,38 @@ class RepBackbone(nn.Module):
     proven against the train-form torch twin (test_detect_parity)."""
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, emit_p3=None, emit_p4=None):
+        """``emit_p3``/``emit_p4``: neck concat-group scales (owned by
+        :class:`YoloV5Lite`) — the p3/p4 taps emit s8 at them so both
+        consumers (next stage's conv and the PAN concat) read 1-byte
+        data.  Every other deploy-form edge is single-consumer
+        conv→conv and chains per-producer."""
         widths = V5LITE_G_PLAN["widths"]
         blocks = V5LITE_G_PLAN["blocks"]
         feats = []
         for si, (w, n) in enumerate(zip(widths, blocks)):
+            # stage exits at the p3/p4 taps emit at the neck group
+            # scale; every other edge (internal chain + non-tap exits,
+            # whose single consumer is the next conv) emits per-producer
+            tap = {2: emit_p3, 3: emit_p4}.get(si)
             x = ConvBN(
                 w, (3, 3), strides=(2, 2), act=nn.relu,
                 name=f"rep{si}_0",
-            )(x, train)
+            )(
+                x, train, emit_q=n > 1 or si not in (2, 3),
+                emit_scale=None if n > 1 else tap,
+            )
             for bi in range(1, n):
                 x = ConvBN(
                     w, (3, 3), act=nn.relu, name=f"rep{si}_{bi}"
-                )(x, train)
+                )(
+                    x, train,
+                    emit_q=bi < n - 1 or si not in (2, 3),
+                    emit_scale=None if bi < n - 1 else tap,
+                )
             if si in (2, 3):
                 feats.append(x)
-        x = SPPv5(widths[4], name="spp")(x, train)
+        x = SPPv5(widths[4], name="spp")(x, train, emit_q=True)
         feats.append(x)
         return tuple(feats)
 
@@ -231,23 +250,49 @@ class LitePAN(nn.Module):
     scale: str = "s"
 
     @nn.compact
-    def __call__(self, feats, train: bool = False):
+    def __call__(self, feats, train: bool = False, group_scales=None,
+                 record=None):
+        """``group_scales``/``record``: the two unified neck concat
+        groups (owned by :class:`YoloV5Lite` — members span backbone
+        and neck scopes): l5 feeds both the fpn4 and pan5 concats
+        (group "a"), l4 feeds both fpn3 and pan4 (group "b") — TRT's
+        scale propagation merges concats sharing a producer."""
+        from .layers import QTensor, qconcat, quantize_to
+
         p3, p4, p5 = feats
         w = _neck_width(self.scale)
-        l5 = ConvBN(w, (1, 1), name="lat5")(p5, train)
-        y = jnp.concatenate([resize_nearest_2x(l5), p4], axis=-1)
-        t4 = C3(w, 1, False, name="fpn4")(y, train)
-        l4 = ConvBN(w, (1, 1), name="lat4")(t4, train)
-        y = jnp.concatenate([resize_nearest_2x(l4), p3], axis=-1)
+        gs = group_scales or {}
+        ga, gb = gs.get("a"), gs.get("b")
+
+        def gq(y, s):
+            # backbone taps not produced by a conv epilogue (the lite
+            # trunks' shuffle blocks end in a channel shuffle): explicit
+            # quantize into the group
+            if s is not None and not isinstance(y, QTensor):
+                y = quantize_to(y, s)
+            return y
+
+        def rec(y, name):
+            if record is not None:
+                record.setdefault(name, []).append(y)
+            return y
+
+        l5 = ConvBN(w, (1, 1), name="lat5")(p5, train, emit_scale=ga)
+        y = rec(qconcat([resize_nearest_2x(l5), gq(p4, ga)]), "a")
+        t4 = C3(w, 1, False, name="fpn4")(y, train, emit_q=True)
+        l4 = ConvBN(w, (1, 1), name="lat4")(t4, train, emit_scale=gb)
+        y = rec(qconcat([resize_nearest_2x(l4), gq(p3, gb)]), "b")
         n3 = C3(w, 1, False, name="fpn3")(y, train)
-        y = ConvBN(w, (3, 3), strides=(2, 2), name="pan3")(n3, train)
-        n4 = C3(w, 1, False, name="pan4")(
-            jnp.concatenate([y, l4], axis=-1), train
+        y = ConvBN(w, (3, 3), strides=(2, 2), name="pan3")(
+            n3, train, emit_scale=gb
         )
-        y = ConvBN(w, (3, 3), strides=(2, 2), name="pan5_down")(n4, train)
-        n5 = C3(w, 1, False, name="pan5")(
-            jnp.concatenate([y, l5], axis=-1), train
+        y = rec(qconcat([y, l4]), "b")
+        n4 = C3(w, 1, False, name="pan4")(y, train)
+        y = ConvBN(w, (3, 3), strides=(2, 2), name="pan5_down")(
+            n4, train, emit_scale=ga
         )
+        y = rec(qconcat([y, l5]), "a")
+        n5 = C3(w, 1, False, name="pan5")(y, train)
         return n3, n4, n5
 
 
@@ -261,14 +306,28 @@ class YoloV5Lite(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from .layers import s8_group_record, s8_group_scale
+
         s = self.spec
         nc = s.num_classes
         scale = s.scale if s.scale in (*V5LITE_PLANS, "g") else "s"
+        # unified neck concat groups (see LitePAN): owned here because
+        # the g trunk's p3/p4 taps emit into them from the backbone
+        ga = s8_group_scale(self, "neck_a_xmax")
+        gb = s8_group_scale(self, "neck_b_xmax")
+        recs: dict = {}
         if scale == "g":
-            feats = RepBackbone(name="backbone")(x, train)
+            feats = RepBackbone(name="backbone")(
+                x, train, emit_p3=gb, emit_p4=ga
+            )
         else:
             feats = LiteBackbone(scale, name="backbone")(x, train)
-        feats = LitePAN(scale, name="neck")(feats, train)
+        feats = LitePAN(scale, name="neck")(
+            feats, train, group_scales={"a": ga, "b": gb}, record=recs
+        )
+        for key, name in (("a", "neck_a_xmax"), ("b", "neck_b_xmax")):
+            if recs.get(key):
+                s8_group_record(self, recs[key], name=name)
         na = len(V5_ANCHORS[0])
         outs = []
         for li, f in enumerate(feats):

@@ -858,6 +858,71 @@ class TestS8ConcatGroups:
         err_on = np.abs(on - f32).mean() / scale_m
         assert err_on < err_off * 1.3 + 1e-4, (err_on, err_off)
 
+    def test_v7_elan_s8_groups(self, rng):
+        """YOLOv7 (E-ELAN): every concat in the yaml graph is an s8
+        group owned by YoloV7 (the blocks are closures, named by yaml
+        layer index) — ELAN taps are multi-consumer conv edges emitting
+        at the group scale, MP blocks emit both members at one scale,
+        SPPCSPC carries two module-local groups, and the SPPCSPC/ELAN-W
+        route taps emit at the downstream head_mp group's scale
+        (models/yolov7.py)."""
+        from adas_tpu.models import layers as L
+        from adas_tpu.models.yolo import YoloSpec, build_yolo
+        from adas_tpu.tools.quantize import calibrate_act_scales
+
+        spec = YoloSpec(
+            family="v7", scale="base", num_classes=80, input_size=(96, 96),
+        )
+        net = build_yolo(spec)
+        x = jnp.asarray(rng.standard_normal((1, 96, 96, 3)), jnp.float32)
+        v = net.init(jax.random.PRNGKey(0), x)
+        f32 = np.asarray(net.apply(v, x), np.float32)
+        cal = calibrate_act_scales(
+            lambda vv, xi: net.apply(vv, xi, mutable=["act_scales"]),
+            v, [x],
+        )
+        groups = {
+            str(p)
+            for p, _ in jax.tree_util.tree_leaves_with_path(
+                cal["act_scales"]
+            )
+        }
+        for name in (
+            "elan4_xmax", "mp12_xmax", "cat55_xmax", "cat67_xmax",
+            "mp76_xmax", "mp89_xmax",
+        ):
+            assert any(name in g for g in groups), (name, groups)
+
+        L.reset_trace_stats()
+
+        def f(vv, xx):
+            with quantized("int8"):
+                return net.apply(vv, xx)
+
+        jax.jit(f).lower(cal, x)  # trace only
+        stats = L.trace_stats()
+        # 8 ELAN/ELAN-W + 5 MP + 2 laterals + 2 SPPCSPC concats s8
+        assert stats["s8_group_concats"] >= 17, stats
+        # whole-graph chain: all but the Cin=3 stem read s8
+        assert stats["s8_consumes"] >= stats["int8_convs"] - 2, stats
+        assert stats["bf16_convs"] <= 1, stats
+
+        def int8_out():
+            return np.asarray(jax.jit(f)(cal, x), np.float32)
+
+        prev = L._S8_CHAIN
+        try:
+            L.set_s8_chain(False)
+            off = int8_out()
+            L.set_s8_chain(True)
+            on = int8_out()
+        finally:
+            L.set_s8_chain(prev)
+        scale_m = np.abs(f32).mean()
+        err_off = np.abs(off - f32).mean() / scale_m
+        err_on = np.abs(on - f32).mean() / scale_m
+        assert err_on < err_off * 1.3 + 1e-4, (err_on, err_off)
+
     def test_sppf_pools_commute_with_quantize(self, rng):
         """max_pool_q(s8) == quantize(max_pool(dequant)) exactly."""
         from adas_tpu.models.layers import QTensor, max_pool, max_pool_q
