@@ -110,6 +110,26 @@ _DOWNSCALE_LADDER = [
     (180, 320), (144, 256),
 ]
 
+#: accuracy floor for the adaptive planner (VERDICT r4 #3): the ladder
+#: trades resolution for throughput, and below this rung the measured
+#: decode drift vs the native-resolution path (adas_tpu/pipeline/
+#: transport_parity.py; table in BASELINE.md r05) is no longer
+#: acceptable — nothing used to stop the planner from serving a
+#: geometry at which small objects are undetectable.  The planner never
+#: picks a rung below the floor no matter how slow the link; a slower
+#: tunnel costs pipeline depth instead.  Override: ADAS_TRANSPORT_FLOOR
+#: ("HxW", must be a ladder entry; "none" disables).
+_FLOOR_ENV = os.environ.get("ADAS_TRANSPORT_FLOOR", "180x320")
+if _FLOOR_ENV == "none":
+    _DOWNSCALE_FLOOR = _DOWNSCALE_LADDER[-1]
+else:
+    _h, _w = _FLOOR_ENV.split("x")
+    _DOWNSCALE_FLOOR = (int(_h), int(_w))
+    if _DOWNSCALE_FLOOR not in _DOWNSCALE_LADDER:
+        raise ValueError(
+            f"ADAS_TRANSPORT_FLOOR {_FLOOR_ENV} is not a ladder rung"
+        )
+
 
 def probe_bandwidth_mbps(size_mb: float = 2.0, reps: int = 3) -> float:
     """Measured host->device bandwidth (MB/s) through whatever attaches
@@ -182,11 +202,15 @@ def choose_transport(bw_mbps: float, n_streams: int, factor: float = 0.6):
     measured sustained rate."""
     budget_s = 0.110
     plan_bw = factor * bw_mbps
-    for hw in _DOWNSCALE_LADDER:
+    floor_idx = _DOWNSCALE_LADDER.index(_DOWNSCALE_FLOOR)
+    for hw in _DOWNSCALE_LADDER[: floor_idx + 1]:
         mb = hw[0] * hw[1] * 1.5 * n_streams / 1e6
         if mb / max(plan_bw, 1e-6) <= budget_s:
             return hw, 3
-    return _DOWNSCALE_LADDER[-1], 4
+    # nothing above the accuracy floor fits the budget: serve the floor
+    # rung with extra pipeline depth — a slow link may cost latency but
+    # never detection quality beyond the documented bound
+    return _DOWNSCALE_FLOOR, 4
 
 
 def plan_transport(n_streams: int):
@@ -286,6 +310,36 @@ def _compute_fps(ms, batches) -> float:
 
     t1, t2 = best_of(p1), best_of(p2)
     return COMPUTE_ITERS * N_STREAMS / max(t2 - t1, 1e-6)
+
+
+#: pinned probe geometry for ``compute_fps_fixed`` (VERDICT r4 #2): the
+#: adaptive planner couples ``compute_fps`` to whatever transport the
+#: tunnel weather picked (device-side resize work shrinks with the
+#: frame), so round-over-round compute progress was unfalsifiable from
+#: the JSONs alone (r04: 499.05 at (180,320); r03: 464.22 at (360,640)).
+#: This row measures the SAME two-point chained probe at a fixed
+#: (360, 640) transport and 640x640 model input every round.
+_FIXED_GEOMETRY = (360, 640)
+
+
+def _fixed_compute_row(yolo, lane, batches, ms_headline, downscale):
+    """compute_fps at the pinned geometry, reusing the headline pipeline
+    when the planner happened to pick it."""
+    from adas_tpu.pipeline.multistream import MultiStreamADAS
+
+    if tuple(downscale) == _FIXED_GEOMETRY:
+        ms = ms_headline
+    else:
+        ms = MultiStreamADAS(
+            yolo, lane, N_STREAMS, frame_hw=(720, 1280),
+            host_downscale=_FIXED_GEOMETRY, transport="i420",
+        )
+        ms.process_batch(batches[0])  # compile + settle
+    return {
+        "fps": round(_compute_fps(ms, batches), 2),
+        "transport": list(_FIXED_GEOMETRY),
+        "model_input": [640, 640],
+    }
 
 
 def _staged(ms, batches, ticks: int = 12) -> dict:
@@ -593,12 +647,28 @@ def main() -> None:
         )
         if (
             stages["upload"]["p50"] > 1.3 * 110.0
-            and 0 <= idx < len(_DOWNSCALE_LADDER) - 1
+            and 0 <= idx < _DOWNSCALE_LADDER.index(_DOWNSCALE_FLOOR)
         ):
             downscale = _DOWNSCALE_LADDER[idx + 1]
             stepped_down = True
             ms = build_warm(downscale)
             stages = _staged(ms, batches)
+
+    # accuracy drift of the CHOSEN rung vs the native-resolution path
+    # on the same frames (transport_parity module; the reference never
+    # trades resolution for throughput — demo.py:263-269 — so when we
+    # do, the bench says by how much).  Failure here must not cost the
+    # throughput capture: record the error string instead.
+    try:
+        from adas_tpu.pipeline.transport_parity import (
+            measure_transport_drift,
+        )
+
+        drift = measure_transport_drift(
+            yolo, lane, [batches[0][i] for i in range(3)], downscale
+        )
+    except Exception as e:  # pragma: no cover - capture robustness
+        drift = {"error": f"{type(e).__name__}: {e}"}
 
     record = {
         "metric": "e2e_fps",
@@ -613,8 +683,15 @@ def main() -> None:
             "downscale": list(downscale),
             "depth": depth,
             "stepped_down": stepped_down,
+            "floor": list(_DOWNSCALE_FLOOR),
+            "parity_drift": drift,
         },
         "compute_fps": round(_compute_fps(ms, batches), 2),
+        # pinned-geometry row: comparable round over round regardless of
+        # what the adaptive planner picked for e2e
+        "compute_fixed": _fixed_compute_row(
+            yolo, lane, batches, ms, downscale
+        ),
         "stages_ms": stages,
         # which kernel paths the compiled step actually contains —
         # counted at trace time, so these attribute THIS run's graphs
