@@ -54,6 +54,7 @@ _TRACE_STATS = {
     "s8_consumes": 0,       # convs consuming a chained s8 input
     "s8_group_concats": 0,  # concats performed in the s8 domain
     "pallas_convs": 0,      # convs served by ops/pallas_conv.py
+    "pallas_blocks": 0,     # two-conv bodies served by ops/pallas_block.py
     "int8_dense": 0,        # dense layers lowered W8A8
 }
 
@@ -174,6 +175,19 @@ def qconcat(parts, axis: int = -1):
     whole group to the plain bf16 concat (the consumer then quantizes
     dynamically or from its own calibrated xmax, unchanged)."""
     if parts and all(isinstance(p, QTensor) for p in parts):
+        # trace-time guard (ADVICE r4): group membership is threaded
+        # across module boundaries by three mechanisms (epilogue
+        # emit_scale, explicit quantize_to, backbone tap plumbing) — a
+        # membership mistake would otherwise dequantize non-first
+        # members silently wrong.  Scale IDENTITY (not equality) is the
+        # group contract and costs nothing in-graph.
+        for p in parts[1:]:
+            if p.scale is not parts[0].scale:
+                raise ValueError(
+                    "qconcat parts carry different scale objects — a "
+                    "concat-group membership bug (every member must "
+                    "emit at the group owner's s8_group_scale)"
+                )
         _TRACE_STATS["s8_group_concats"] += 1
         return QTensor(
             jnp.concatenate([p.data for p in parts], axis=axis),
@@ -547,6 +561,63 @@ def _maybe_pallas_conv(
     if requant:
         return QTensor(y, out_scale)
     return y
+
+
+class QConvParams(nn.Module):
+    """Param/variable holder with :class:`Int8Conv`'s EXACT tree
+    (``params/<name>/kernel`` + ``wscales/<name>/wscale`` +
+    ``act_scales/<name>/{xmax,ymax}``) that RETURNS the quantized pieces
+    instead of applying the conv — the seam that lets a multi-layer
+    fused kernel (ops/pallas_block.py) own two convs' arithmetic while
+    the checkpoint/calibration layout stays byte-identical to the
+    per-conv XLA path (same pattern as ``consume_planes_stem``'s
+    ``_StemKernelParam``)."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+
+    @nn.compact
+    def __call__(self, cin: int):
+        """-> (wq s8 HWIO, wscale (C,), xscale | None, yscale | None):
+        per-channel weight quant params plus this conv's calibrated
+        static input/output activation scales (None when absent)."""
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kernel_size, cin, self.features),
+            jnp.float32,
+        )
+        wq, wscale = int8_weight_qparams(self, kernel)
+        xscale = yscale = None
+        if self.has_variable("act_scales", "xmax"):
+            xscale = (
+                jnp.maximum(self.get_variable("act_scales", "xmax"), 1e-12)
+                / 127.0
+            )
+        if self.has_variable("act_scales", "ymax"):
+            yscale = (
+                jnp.maximum(self.get_variable("act_scales", "ymax"), 1e-12)
+                / 127.0
+            )
+        return wq, wscale.reshape(-1), xscale, yscale
+
+
+class QConvBNParams(nn.Module):
+    """Param/variable holder with :class:`ConvBN`'s exact tree
+    (``conv/kernel`` + ``bn/{scale,bias,mean,var}``) returning the
+    quantized conv pieces and the folded BN affine — the ConvBN-shaped
+    counterpart of :class:`QConvParams` for block-fused kernels."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+
+    @nn.compact
+    def __call__(self, cin: int):
+        wq, wscale, xs, ys = QConvParams(
+            self.features, self.kernel_size, name="conv"
+        )(cin)
+        gain, fbias = BNFoldParams(epsilon=1e-5, name="bn")(self.features)
+        return wq, wscale, xs, ys, gain, fbias
 
 
 class Int8Dense(nn.Module):

@@ -112,12 +112,44 @@ class StemConv(nn.Module):
 
 
 class BasicBlock(nn.Module):
+    """conv3x3 -> conv3x3 + residual (torchvision layout).
+
+    Under calibrated int8 serving, stride-1 same-width blocks at
+    roofline-winnable shapes route BOTH convs + the residual add through
+    ONE fused Pallas kernel (ops/pallas_block.py): the mid activation
+    stays in VMEM and blocks chain through the padded-planar s8 domain,
+    so a stage pays one relayout at entry/exit instead of per conv.
+    The XLA path is the exact fallback (and the calibration/packing
+    path); parameter and calibration trees are identical either way."""
+
     features: int
     strides: int = 1
     dtype: object = jnp.float32
 
+    @staticmethod
+    def fuse_eligible(hw, cin: int, features: int, strides: int) -> bool:
+        """Static part of the fused-kernel predicate (shape + config) —
+        ResNetFeatures uses it for the emit_planar chaining hint."""
+        from ..ops.pallas_block import block_enabled, block_shape_wins
+
+        return (
+            block_enabled()
+            and strides == 1
+            and cin == features
+            and block_shape_wins(hw[0], hw[1], cin)
+        )
+
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, emit_planar: bool = False):
+        from ..ops import pallas_block as PBK
+
+        y = self._fused(x, train, emit_planar)
+        if y is not None:
+            return y
+        if isinstance(x, PBK.PlanarQ):
+            # a planar chain reaching an unfusable block (probe failure,
+            # missing scales): re-enter the NHWC domain losslessly
+            x = _layers.QTensor(PBK.from_planar(x), x.scale)
         identity = x
         # conv1 -> conv2 is a single-consumer edge: s8-chain it
         # (layers._S8_CHAIN) so the bf16 intermediate never lands in HBM
@@ -137,7 +169,103 @@ class BasicBlock(nn.Module):
                 conv_name="downsample_conv", bn_name="downsample_bn",
                 dtype=self.dtype, train=train,
             )
-        return nn.relu(y + identity)
+        if isinstance(identity, _layers.QTensor):
+            identity = identity.dequant()
+        out = nn.relu(y + identity)
+        if (
+            _layers._QUANT_MODE == "int8_calib"
+            and _layers._S8_CHAIN
+            and self.strides == 1
+            and not train
+        ):
+            # block-output absmax: the fused kernel's s8 output scale
+            # (self-contained producer-scale chaining — the consumer
+            # reads the QTensor at it, same math as its own xmax
+            # quantize of the bf16 value)
+            seen = self.variable(
+                "act_scales", "out_ymax",
+                lambda: jnp.zeros((), jnp.float32),
+            )
+            seen.value = jnp.maximum(
+                seen.value, jnp.max(jnp.abs(out.astype(jnp.float32)))
+            )
+        return out
+
+    def _fused(self, x, train: bool, emit_planar: bool):
+        """The fused two-conv Pallas path; None -> caller runs XLA."""
+        from ..ops import pallas_block as PBK
+
+        if _layers._QUANT_MODE != "int8" or train:
+            return None
+        if isinstance(x, PBK.PlanarQ):
+            hw, cin = x.hw, x.data.shape[2]
+        else:
+            hw, cin = (x.shape[1], x.shape[2]), x.shape[-1]
+        if not self.fuse_eligible(hw, cin, self.features, self.strides):
+            return None
+        if not self.has_variable("act_scales", "out_ymax"):
+            return None  # calibrated before this path existed
+        # every fused/XLA decision must happen BEFORE the first flax
+        # submodule is created: a later fallback would re-create the
+        # same names in the XLA path (flax NameInUseError) — the
+        # compile probe only needs shapes
+        interpret = jax.default_backend() != "tpu"
+        if not interpret:
+            n = x.data.shape[0] if isinstance(x, PBK.PlanarQ) else x.shape[0]
+            if not PBK.block_compile_ok(
+                n, hw[0], hw[1], cin, self.features, self.features,
+                "relu", None, "relu", True,
+            ):
+                return None
+        w1q, w1s, x1s, y1s = _layers.QConvParams(
+            self.features, (3, 3), name="conv1"
+        )(cin)
+        gain1, fb1 = _layers.BNFoldParams(epsilon=1e-5, name="bn1")(
+            self.features
+        )
+        w2q, w2s, _, _ = _layers.QConvParams(
+            self.features, (3, 3), name="conv2"
+        )(self.features)
+        gain2, fb2 = _layers.BNFoldParams(epsilon=1e-5, name="bn2")(
+            self.features
+        )
+        if isinstance(x, (PBK.PlanarQ, _layers.QTensor)):
+            xscale = x.scale
+        else:
+            xscale = x1s
+        if y1s is None or xscale is None:
+            # out_ymax present guarantees the same calibration pass
+            # recorded conv1's xmax/ymax (emit_q=True) — reaching here
+            # means an inconsistent act_scales tree, and falling back
+            # would re-create module names; fail loudly instead
+            raise ValueError(
+                "inconsistent calibration tree: out_ymax present but "
+                "conv1 xmax/ymax missing (recalibrate the model)"
+            )
+        if isinstance(x, _layers.QTensor):
+            xp = PBK.to_planar(x.data, x.scale)
+        elif isinstance(x, PBK.PlanarQ):
+            xp = x
+        else:
+            xq = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / xscale), -127, 127
+            ).astype(jnp.int8)
+            xp = PBK.to_planar(xq, xscale)
+        so = (
+            jnp.maximum(self.get_variable("act_scales", "out_ymax"), 1e-12)
+            / 127.0
+        )
+        _layers._TRACE_STATS["pallas_blocks"] += 1
+        out = PBK.fused_block(
+            xp,
+            w1q, w1s * xscale * gain1, fb1, y1s,
+            w2q, w2s * y1s * gain2, fb2, so,
+            act1="relu", act2=None, act_post="relu", residual=True,
+            interpret=interpret,
+        )
+        if emit_planar:
+            return out
+        return _layers.QTensor(PBK.from_planar(out), so)
 
 
 class Bottleneck(nn.Module):
@@ -229,16 +357,44 @@ class ResNetFeatures(nn.Module):
             x = nn.relu(x)
             x = max_pool(x, 3, 2, pad=1)
 
+        from ..ops.pallas_block import PlanarQ
+
         feats = []
         for stage_idx, n_blocks in enumerate(stages):
             width = 64 * (2 ** stage_idx)
             for block_idx in range(n_blocks):
                 strides = 2 if (stage_idx > 0 and block_idx == 0) else 1
+                kwargs = {}
+                if block is BasicBlock:
+                    # chaining hint: keep the planar s8 domain between
+                    # consecutive fusable blocks (ops/pallas_block.py) —
+                    # a best-effort hint, every block handles either
+                    # input form
+                    hw = x.hw if isinstance(x, PlanarQ) else (
+                        x.shape[1], x.shape[2]
+                    )
+                    nxt_hw = (
+                        (hw[0] // strides, hw[1] // strides)
+                        if strides == 2
+                        else hw
+                    )
+                    kwargs["emit_planar"] = (
+                        block_idx + 1 < n_blocks
+                        and BasicBlock.fuse_eligible(
+                            nxt_hw, width, width, 1
+                        )
+                    )
                 x = block(
                     features=width, strides=strides, dtype=self.dtype,
                     name=f"layer{stage_idx + 1}_{block_idx}",
-                )(x, train=train)
-            feats.append(x)
+                )(x, train=train, **kwargs)
+            # a stage tap must be an array for the lane head; a fused
+            # last block hands the next stage its s8 QTensor while the
+            # tap takes the bf16 view (exactly the value the consumer's
+            # own input quantize would reconstruct)
+            feats.append(
+                x.dequant() if isinstance(x, _layers.QTensor) else x
+            )
         # x2 (stride 8), x3 (stride 16), x4 (stride 32)
         return feats[1], feats[2], feats[3]
 

@@ -102,19 +102,28 @@ class Bottleneck(nn.Module):
     kernels: Tuple[int, int] = (3, 3)
 
     @nn.compact
-    def __call__(self, x, train=False, emit_scale=None):
+    def __call__(self, x, train=False, emit_scale=None, emit_planar=False):
         """``emit_scale``: this bottleneck's output belongs to an s8
         concat group (C2f/C3 parts) — emit a QTensor quantized at the
         group's unified scale (TRT int8-concat semantics; see
-        layers.s8_group_scale)."""
+        layers.s8_group_scale).  ``emit_planar``: chaining hint — when
+        the fused two-conv Pallas path serves this body, stay in the
+        padded-planar s8 domain for the next bottleneck."""
         hidden = int(self.features * self.expansion)
         # cv1 -> cv2 is a single-consumer edge: chain s8 between the
         # int8 epilogues (layers._S8_CHAIN) so no bf16 intermediate
         # lands in HBM.  Only when cv2 can actually take int8 — emitting
         # into an ineligible consumer would add a useless quantize/
         # dequantize round trip on a previously-exact bf16 edge.
+        from ..ops import pallas_block as PBK
         from .layers import QTensor, int8_conv_eligible, quantize_to
 
+        y = self._fused(x, train, emit_scale, emit_planar, hidden)
+        if y is not None:
+            return y
+        if isinstance(x, PBK.PlanarQ):
+            # planar chain reaching an unfusable body: re-enter NHWC
+            x = QTensor(PBK.from_planar(x), x.scale)
         y = ConvBN(hidden, (self.kernels[0],) * 2, name="cv1")(
             x, train, emit_q=int8_conv_eligible(1, hidden)
         )
@@ -138,6 +147,82 @@ class Bottleneck(nn.Module):
             # CONSUMERS); only the s8 tensor reaches HBM
             y = quantize_to(y, emit_scale)
         return y
+
+    def _fused(self, x, train, emit_scale, emit_planar, hidden):
+        """Fused two-conv Pallas body (ops/pallas_block.py): serves the
+        3x3->3x3 C2f bottleneck under calibrated int8 with a concat-
+        group output scale — both convs + the shortcut add + the group
+        requantize in one kernel, mid activation VMEM-resident.  None ->
+        caller runs the per-conv XLA path (exact fallback; identical
+        parameter/calibration trees via layers.QConvParams)."""
+        from . import layers as L
+        from ..ops import pallas_block as PBK
+
+        if (
+            L._QUANT_MODE != "int8"
+            or train
+            or emit_scale is None
+            or self.kernels != (3, 3)
+            or hidden != self.features
+            or not L.int8_conv_eligible(1, hidden)
+        ):
+            return None
+        if isinstance(x, PBK.PlanarQ):
+            hw, cin = x.hw, x.data.shape[2]
+        elif isinstance(x, L.QTensor):
+            hw, cin = (x.shape[1], x.shape[2]), x.shape[-1]
+        else:
+            return None  # group inputs arrive as QTensor when calibrated
+        if cin != self.features:
+            return None
+        if not PBK.block_enabled() or not PBK.block_shape_wins(
+            hw[0], hw[1], cin
+        ):
+            return None
+        # every fused/XLA decision must happen BEFORE the first flax
+        # submodule is created: a later fallback would re-create the
+        # same names in the XLA path (flax NameInUseError) — the
+        # compile probe only needs shapes
+        interpret = jax.default_backend() != "tpu"
+        use_shortcut = self.shortcut  # cin == features established above
+        if not interpret:
+            n = x.data.shape[0] if isinstance(x, PBK.PlanarQ) else x.shape[0]
+            if not PBK.block_compile_ok(
+                n, hw[0], hw[1], cin, hidden, self.features,
+                "silu", "silu", None, use_shortcut,
+            ):
+                return None
+        w1q, w1s, _, y1s, gain1, fb1 = L.QConvBNParams(
+            hidden, (3, 3), name="cv1"
+        )(cin)
+        w2q, w2s, _, _, gain2, fb2 = L.QConvBNParams(
+            self.features, (3, 3), name="cv2"
+        )(hidden)
+        if y1s is None:
+            # a group scale (emit_scale) only exists on a calibrated
+            # tree, and that same pass records cv1's ymax (emit_q) —
+            # an inconsistent tree must fail loudly (a fallback here
+            # would re-create the cv1/cv2 module names)
+            raise ValueError(
+                "inconsistent calibration tree: concat group scale "
+                "present but cv1 ymax missing (recalibrate the model)"
+            )
+        xp = (
+            x
+            if isinstance(x, PBK.PlanarQ)
+            else PBK.to_planar(x.data, x.scale)
+        )
+        L._TRACE_STATS["pallas_blocks"] += 1
+        out = PBK.fused_block(
+            xp,
+            w1q, w1s * xp.scale * gain1, fb1, y1s,
+            w2q, w2s * y1s * gain2, fb2, emit_scale,
+            act1="silu", act2="silu", act_post=None,
+            residual=use_shortcut, interpret=interpret,
+        )
+        if emit_planar:
+            return out
+        return L.QTensor(PBK.from_planar(out), emit_scale)
 
 
 class C3(nn.Module):
@@ -191,6 +276,9 @@ class C2f(nn.Module):
         # Each part's QTensor serves BOTH its consumers (the next
         # bottleneck's int8 cv1 and the concat) — the multi-consumer
         # edge the per-producer ymax chaining could not cover.
+        from ..ops.pallas_block import PlanarQ, from_planar
+        from .layers import QTensor
+
         gscale = s8_group_scale(self)
         y = ConvBN(2 * hidden, (1, 1), name="cv1")(
             x, train, emit_scale=gscale
@@ -201,8 +289,20 @@ class C2f(nn.Module):
                 Bottleneck(
                     hidden, self.shortcut, expansion=1.0, kernels=(3, 3),
                     name=f"m{i}",
-                )(parts[-1], train, emit_scale=gscale)
+                )(
+                    parts[-1], train, emit_scale=gscale,
+                    # planar chaining hint: the next bottleneck can
+                    # consume the padded-planar s8 form directly; the
+                    # concat below re-enters NHWC per part
+                    emit_planar=i + 1 < self.n,
+                )
             )
+        parts = [
+            QTensor(from_planar(p), p.scale)
+            if isinstance(p, PlanarQ)
+            else p
+            for p in parts
+        ]
         cat = qconcat(parts)
         s8_group_record(self, cat)
         return ConvBN(self.features, (1, 1), name="cv2")(

@@ -197,22 +197,29 @@ class RepBackbone(nn.Module):
         for si, (w, n) in enumerate(zip(widths, blocks)):
             # stage exits at the p3/p4 taps emit at the neck group
             # scale; every other edge (internal chain + non-tap exits,
-            # whose single consumer is the next conv) emits per-producer
+            # whose single consumer is the next conv) emits per-producer.
+            # Intent named explicitly (ADVICE r4): the LAST block of a
+            # TAP stage is the only emission at the group scale.
             tap = {2: emit_p3, 3: emit_p4}.get(si)
+            is_tap_stage = si in (2, 3)
+
+            def _flags(is_last_block):
+                is_tap_exit = is_tap_stage and is_last_block
+                return {
+                    "emit_q": not is_tap_exit,
+                    "emit_scale": tap if is_tap_exit else None,
+                }
+
             x = ConvBN(
                 w, (3, 3), strides=(2, 2), act=nn.relu,
                 name=f"rep{si}_0",
-            )(
-                x, train, emit_q=n > 1 or si not in (2, 3),
-                emit_scale=None if n > 1 else tap,
-            )
+            )(x, train, **_flags(is_last_block=n == 1))
             for bi in range(1, n):
                 x = ConvBN(
                     w, (3, 3), act=nn.relu, name=f"rep{si}_{bi}"
                 )(
                     x, train,
-                    emit_q=bi < n - 1 or si not in (2, 3),
-                    emit_scale=None if bi < n - 1 else tap,
+                    **_flags(is_last_block=bi == n - 1),
                 )
             if si in (2, 3):
                 feats.append(x)

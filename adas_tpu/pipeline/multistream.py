@@ -75,10 +75,22 @@ class MultiStreamADAS:
         mesh: Optional[Mesh] = None,
         host_downscale: Optional[Sequence[int]] = None,
         transport: str = "bgr",
-        device_kf: bool = False,
-        max_tracks: int = 64,
         step_artifact: Optional[str] = None,
     ):
+        # Design note (round 5, VERDICT r4 #4): the round-3 "device-KF"
+        # mode — the trackers' batched KF predict (ops/kalman_jax.py)
+        # riding the fused device step — is RETIRED from serving.  Its
+        # predict had to see the tracker state its own fetch updates, so
+        # submits could never pipeline (depth-1 only, measured 39.9 fps
+        # vs 96.5 pipelined host-KF, r03); predicting from d-tick-stale
+        # state under pipelining is not "late", it is WRONG — the d
+        # interleaved host measurement updates are missing from the
+        # state the filter propagates (reference KF update seam:
+        # /root/reference/ObjectTracker/byteTrack/dtypes/kalman_filter.py:155-192).
+        # The host KF on <= 64 tracks is microseconds of batched numpy
+        # einsums (tracking/kalman.py).  ops/kalman_jax.py and the
+        # tracker's generic ``update(predicted=)`` seam remain as
+        # tested library ops.
         self.yolo = yolo
         self.lane = lane
         self.n_streams = n_streams
@@ -87,13 +99,6 @@ class MultiStreamADAS:
         #: see pipeline/fused.py: shrink upload bytes on tunneled TPUs
         self.host_downscale = tuple(host_downscale) if host_downscale else None
         self.transport = transport
-        #: run the trackers' batched KF predict (ops/kalman_jax.py) inside
-        #: the fused device step: track states ride the frame upload and
-        #: the predictions ride the existing packed fetch.  The predict
-        #: must see the tracker state the fetch will update, so submits
-        #: cannot be pipelined ahead — use process_batch()/depth-1.
-        self.device_kf = bool(device_kf)
-        self.max_tracks = int(max_tracks)
         self.dev_hw = self.host_downscale or self.frame_hw
         self._spec_holder = {}
         self._uploader = None
@@ -185,14 +190,13 @@ class MultiStreamADAS:
             else None
         )
 
-        device_kf = self.device_kf
         # v10 one-to-one head: serve NMS-free (BASELINE config 5), same
         # branch the single-frame facade takes (object_detector.py)
         nms_free = bool(getattr(yolo, "nms_free", False))
         if nms_free and getattr(yspec, "family", None) != "v10":
             raise ValueError("nms_free serving requires a YOLOv10 model")
 
-        def one(yolo_vars, lane_vars, frame_in, kf_means=None, kf_covs=None):
+        def one(yolo_vars, lane_vars, frame_in):
             from ..models.layers import quantized
 
             quant = (
@@ -304,22 +308,11 @@ class MultiStreamADAS:
             lanes = ufld_v2_decode(
                 {k: v[None] for k, v in louts.items()}
             )
-            if device_kf:
-                from ..ops import kalman_jax
-
-                pred_m, pred_c = kalman_jax.predict(kf_means, kf_covs)
-                flat, pack_spec = pack((dets, lanes, pred_m, pred_c))
-            else:
-                flat, pack_spec = pack((dets, lanes))
+            flat, pack_spec = pack((dets, lanes))
             spec_holder["spec"] = pack_spec
             return flat
 
-        if device_kf:
-            batched = jax.vmap(one, in_axes=(None, None, 0, 0, 0))
-        else:
-            batched = jax.vmap(
-                lambda yv, lv, f: one(yv, lv, f), in_axes=(None, None, 0)
-            )
+        batched = jax.vmap(one, in_axes=(None, None, 0))
         self._batched = batched  # unjitted; compute probe wraps it
 
         if self.mesh is not None:
@@ -332,11 +325,6 @@ class MultiStreamADAS:
                 lambda _: repl, (self.yolo.variables, self.lane.variables)
             )
             in_sh = [params_shard[0], params_shard[1], in_batch]
-            if device_kf:
-                in_sh += [
-                    NamedSharding(self.mesh, P("data", None, None)),
-                    NamedSharding(self.mesh, P("data", None, None, None)),
-                ]
             jitted = jax.jit(
                 batched,
                 in_shardings=tuple(in_sh),
@@ -404,81 +392,17 @@ class MultiStreamADAS:
 
     def submit_device(self, x):
         """Submit a device-resident prepped batch (see prefetch)."""
-        if self.device_kf:
-            raise RuntimeError(
-                "device_kf streams use submit()/process_batch (the KF "
-                "state gather must pair with this tick's fetch)"
-            )
         return self._step(self.yolo.variables, self.lane.variables, x)
 
     def submit(self, frames: np.ndarray):
         """frames: (n_streams, H, W, 3) uint8 BGR."""
         assert frames.shape[0] == self.n_streams
         x = self._prep_upload(frames)
-        if not self.device_kf:
-            return self._step(self.yolo.variables, self.lane.variables, x)
-
-        # device-KF: the predict must run on the state this frame's fetch
-        # will update, so a second submit before fetch would predict from
-        # stale trackers — refuse rather than silently drift
-        if getattr(self, "_kf_inflight", False):
-            raise RuntimeError(
-                "device_kf streams cannot pipeline submits: fetch the "
-                "previous handle first (use process_batch or depth=1)"
-            )
-        self._kf_inflight = True
-        pools, means, covs = self._gather_kf_state()
-        # staleness guard state: identity alone can't detect an
-        # interleaved tracker.update (same STrack objects, mutated
-        # mean/cov) — record frame_id too and require it unchanged
-        pools = [
-            (p, s.tracker.frame_id) if p is not None else None
-            for p, s in zip(pools, self.streams)
-        ]
-        if self.mesh is not None:
-            means = jax.device_put(
-                means, NamedSharding(self.mesh, P("data", None, None))
-            )
-            covs = jax.device_put(
-                covs, NamedSharding(self.mesh, P("data", None, None, None))
-            )
-        dev = self._step(
-            self.yolo.variables, self.lane.variables, x, means, covs
-        )
-        return (dev, pools)
-
-    def _gather_kf_state(self):
-        """Per-stream padded (max_tracks, 8)/(max_tracks, 8, 8) KF state
-        for the on-device predict.  A stream overflowing max_tracks keeps
-        the host predict (pool recorded as None)."""
-        from ..tracking.strack import STrack
-
-        t = self.max_tracks
-        pools, all_means, all_covs = [], [], []
-        for stream in self.streams:
-            pool = stream.tracker.predict_pool()
-            means = np.zeros((t, 8), np.float32)
-            covs = np.zeros((t, 8, 8), np.float32)
-            if pool and len(pool) <= t:
-                m, c = STrack.gather_state(pool)
-                means[: len(pool)] = m
-                covs[: len(pool)] = c
-                pools.append(pool)
-            else:
-                pools.append(None)
-            all_means.append(means)
-            all_covs.append(covs)
-        return pools, jnp.asarray(np.stack(all_means)), jnp.asarray(
-            np.stack(all_covs)
-        )
+        return self._step(self.yolo.variables, self.lane.variables, x)
 
     def fetch(self, handle, frames: np.ndarray) -> List[dict]:
         """Block and run per-stream host analytics; returns signal dicts."""
-        pools = None
-        if self.device_kf:
-            handle, pools = handle
-            self._kf_inflight = False
-        return self._analytics(self._fetch_flat(handle), frames, pools)
+        return self._analytics(self._fetch_flat(handle), frames)
 
     def _fetch_flat(self, handle) -> np.ndarray:
         """Device→host transfer of the packed per-stream outputs.
@@ -495,7 +419,7 @@ class MultiStreamADAS:
         )
 
     def _analytics(
-        self, flat: np.ndarray, frames: np.ndarray, pools=None
+        self, flat: np.ndarray, frames: np.ndarray
     ) -> List[dict]:
         """Host analytics per stream on the fetched packed tensor."""
         per_stream = [
@@ -506,26 +430,7 @@ class MultiStreamADAS:
         sy = self.frame_hw[0] / self.dev_hw[0]
         sx = self.frame_hw[1] / self.dev_hw[1]
         for i, stream in enumerate(self.streams):
-            predicted = None
-            if self.device_kf:
-                dets, lanes_i, pred_m, pred_c = per_stream[i]
-                entry = pools[i] if pools else None
-                # the predictions only apply if the pool the device
-                # predicted is still exactly what update() will predict
-                # AND no tracker.update ran in between (frame_id check:
-                # identity alone misses in-place mean/cov mutation)
-                if entry is not None:
-                    pool, frame_id = entry
-                    now = stream.tracker.predict_pool()
-                    if (
-                        stream.tracker.frame_id == frame_id
-                        and len(now) == len(pool)
-                        and all(a is b for a, b in zip(now, pool))
-                    ):
-                        n = len(pool)
-                        predicted = (pred_m[:n], pred_c[:n])
-            else:
-                dets, lanes_i = per_stream[i]
+            dets, lanes_i = per_stream[i]
             dets = np.asarray(dets).copy()
             dets[:, [0, 2]] *= sx
             dets[:, [1, 3]] *= sy
@@ -547,7 +452,6 @@ class MultiStreamADAS:
                 np.asarray(scores, dtype=np.float64),
                 labels,
                 frames[i],
-                predicted=predicted,
             )
             stream.distance.updateDistance(objs)
             collision_pt = stream.distance.calcCollisionPoint(
@@ -606,15 +510,6 @@ class MultiStreamADAS:
                 "compute probe needs the native graph; this pipeline "
                 "serves a pre-serialized step_artifact"
             )
-        if self.device_kf:
-            t, s_ = self.max_tracks, self.n_streams
-            kf_zero = (
-                jnp.zeros((s_, t, 8), jnp.float32),
-                jnp.zeros((s_, t, 8, 8), jnp.float32),
-            )
-            base = fn
-            fn = lambda yv, lv, xi: base(yv, lv, xi, *kf_zero)  # noqa: E731
-
         def probe(yolo_vars, lane_vars, x):
             def body(i, s):
                 xi = x + i.astype(x.dtype)
@@ -646,11 +541,6 @@ class MultiStreamADAS:
         ``MultiStreamADAS(..., step_artifact=path)`` — the facades then
         contribute only host-side decode helpers (class names/colors);
         every weight serves from the artifact."""
-        if self.device_kf:
-            raise ValueError(
-                "device_kf steps carry per-tick KF state inputs; export "
-                "the host-KF configuration instead"
-            )
         if self.mesh is not None and self.mesh.size > 1:
             raise ValueError(
                 "multi-device steps serialize device assignments; "
@@ -725,13 +615,7 @@ class MultiStreamADAS:
         ``depth``: max un-fetched device batches (HBM backpressure).
         ``on_result(tick_index, signals)``: optional callback, invoked
         on the fetch thread IN ORDER.  Returns the number of ticks.
-        Not available with device_kf (its predict must see the state
-        its own fetch updates — depth-1 semantics, use process_batch).
         """
-        if self.device_kf:
-            raise RuntimeError(
-                "device_kf requires depth-1 submit/fetch pairing"
-            )
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 

@@ -41,10 +41,6 @@ DEPTH = int(os.environ.get("ADAS_BENCH_DEPTH", "0"))  # 0 = adaptive
 COMPUTE_ITERS = int(os.environ.get("ADAS_BENCH_COMPUTE_ITERS", "30"))
 FULL = os.environ.get("ADAS_BENCH_FULL", "0") == "1"
 DOWNSCALE = os.environ.get("ADAS_BENCH_DOWNSCALE", "auto")
-#: 1 = additionally measure device-KF vs host-KF at depth 1 (the only
-#: depth device-KF supports: its predict must see the state its fetch
-#: updates — multistream.py submit())
-DEVICE_KF = os.environ.get("ADAS_BENCH_DEVICE_KF", "0") == "1"
 #: headline serving precision: "int8" (calibrated + packed — the
 #: TRT-grade static pipeline, fastest measured) or "bf16"
 DTYPE = os.environ.get("ADAS_BENCH_DTYPE", "int8")
@@ -251,36 +247,6 @@ def _pipelined_fps(ms, batches, depth: int) -> float:
     # best of 5 windows: tunnel throughput to the test chip is noisy
     dt = min(run_window() for _ in range(5))
     return N_TICKS * N_STREAMS / dt
-
-
-def _depth1_fps(ms, batches, ticks: int = 12) -> float:
-    """Unpipelined (submit+fetch per tick) throughput — the only mode
-    device-KF streams support."""
-
-    def window() -> float:
-        t0 = time.perf_counter()
-        for i in range(ticks):
-            ms.process_batch(batches[i % len(batches)])
-        return time.perf_counter() - t0
-
-    return ticks * N_STREAMS / min(window() for _ in range(3))
-
-
-def _device_kf_rows(yolo, lane, batches, downscale) -> dict:
-    """Measured device-KF delta at depth 1 (VERDICT: prove it or bound
-    it).  Same models, same transport, KF predict on device vs host."""
-    from adas_tpu.pipeline.multistream import MultiStreamADAS
-
-    out = {}
-    for name, kf in (("host_kf", False), ("device_kf", True)):
-        ms = MultiStreamADAS(
-            yolo, lane, N_STREAMS, frame_hw=(720, 1280),
-            host_downscale=downscale, transport="i420", device_kf=kf,
-        )
-        for b in batches[:2]:
-            ms.process_batch(b)
-        out[f"{name}_depth1_fps"] = round(_depth1_fps(ms, batches), 2)
-    return out
 
 
 def _compute_fps(ms, batches) -> float:
@@ -700,10 +666,6 @@ def main() -> None:
     fps = _pipelined_fps(ms, batches, depth)
     record["value"] = round(fps, 2)
     record["vs_baseline"] = round(fps / BASELINE_FPS, 3)
-    if DEVICE_KF:
-        record["device_kf"] = _device_kf_rows(
-            yolo, lane, batches, downscale
-        )
     if FULL:
         record["configs"] = _full_configs(rng)
     print(json.dumps(record))

@@ -44,19 +44,10 @@ def rng():
 
 
 def pytest_sessionfinish(session, exitstatus):
-    """Teardown barrier: drain pending dispatches and drop compiled
-    executables/live arrays BEFORE interpreter exit.
+    """Teardown barrier: explicit backend drain BEFORE interpreter exit
+    (the round-1..4 SIGABRT family; see adas_tpu/utils/drain.py) —
+    barrier on pending effects, block on every live jax.Array, drop
+    executable caches, collect."""
+    from adas_tpu.utils.drain import drain_backend
 
-    The round-1/2 flake family (sporadic faulthandler dump / SIGABRT at
-    process teardown after mesh-sharded runs) is PJRT CPU-client
-    destructor order racing live sharded arrays still referenced from
-    test-module globals and jit caches.  Releasing them here runs their
-    destructors while the runtime is fully alive."""
-    import gc
-
-    try:
-        jax.effects_barrier()
-    except Exception:
-        pass
-    jax.clear_caches()
-    gc.collect()
+    drain_backend()

@@ -783,7 +783,12 @@ class TestS8ConcatGroups:
         # accuracy yardstick is unchained calibrated int8 (the f32 gap
         # itself is set by random-weight quantization, not by chaining)
         def int8_out():
-            return np.asarray(jax.jit(f)(cal, x), np.float32)
+            # fresh function identity per call: jax's global jit cache
+            # keys on function id, so reusing ``f`` (already traced by
+            # the .lower above) would return the earlier graph and
+            # compare chain-on against itself
+            g = lambda vv, xx: f(vv, xx)  # noqa: E731
+            return np.asarray(jax.jit(g)(cal, x), np.float32)
 
         prev = L._S8_CHAIN
         try:
@@ -843,7 +848,12 @@ class TestS8ConcatGroups:
         assert stats["s8_consumes"] >= 40, stats
 
         def int8_out():
-            return np.asarray(jax.jit(f)(cal, x), np.float32)
+            # fresh function identity per call: jax's global jit cache
+            # keys on function id, so reusing ``f`` (already traced by
+            # the .lower above) would return the earlier graph and
+            # compare chain-on against itself
+            g = lambda vv, xx: f(vv, xx)  # noqa: E731
+            return np.asarray(jax.jit(g)(cal, x), np.float32)
 
         prev = L._S8_CHAIN
         try:
@@ -908,7 +918,12 @@ class TestS8ConcatGroups:
         assert stats["bf16_convs"] <= 1, stats
 
         def int8_out():
-            return np.asarray(jax.jit(f)(cal, x), np.float32)
+            # fresh function identity per call: jax's global jit cache
+            # keys on function id, so reusing ``f`` (already traced by
+            # the .lower above) would return the earlier graph and
+            # compare chain-on against itself
+            g = lambda vv, xx: f(vv, xx)  # noqa: E731
+            return np.asarray(jax.jit(g)(cal, x), np.float32)
 
         prev = L._S8_CHAIN
         try:

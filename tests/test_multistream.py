@@ -115,11 +115,14 @@ def test_per_stream_lane_isolation_and_probe():
     assert np.isfinite(float(out))
 
 
-def test_device_kf_predict_equivalence_and_wiring():
-    """ops/kalman_jax.predict inside the fused step reproduces the host
-    tracker's batched predict (tracking/kalman.py multi_predict), and the
-    device_kf pipeline refuses pipelined submits (the predict must see
-    the state its own fetch will update)."""
+def test_device_kf_ops_predict_equivalence():
+    """ops/kalman_jax.predict reproduces the host tracker's batched
+    predict through the generic ``update(predicted=)`` seam.
+
+    The round-3 device-KF SERVING mode was retired in round 5 (VERDICT
+    r4 #4; design note in pipeline/multistream.py): it could never
+    pipeline, and pipelined host-KF serving beats it >2x.  The batched
+    device predict remains a tested library op."""
     import copy
 
     import jax
@@ -158,7 +161,9 @@ def test_device_kf_predict_equivalence_and_wiring():
         assert a.track_id == b.track_id
         np.testing.assert_allclose(a.mean, b.mean, atol=1e-3)
 
-    # Pipeline wiring: one step with device_kf on; pipelining refused.
+
+def test_multistream_rejects_device_kf_kwarg():
+    """The retired serving flag must fail loudly, not be ignored."""
     yolo = YoloDetector(
         model_path=None, model_type=ObjectModelType.YOLOV8, scale="n",
         input_size=(160, 160), box_score=0.25,
@@ -166,22 +171,89 @@ def test_device_kf_predict_equivalence_and_wiring():
     lane = UltrafastLaneDetectorV2(
         model_path=None, model_type=LaneModelType.UFLDV2_TUSIMPLE
     )
-    ms = MultiStreamADAS(
-        yolo, lane, 2, frame_hw=(180, 320), mesh=None,
-        device_kf=True, max_tracks=8,
+    with pytest.raises(TypeError):
+        MultiStreamADAS(
+            yolo, lane, 2, frame_hw=(180, 320), device_kf=True
+        )
+
+
+def test_multistream_matches_per_stream_detections():
+    """Stream i's detections equal running the single-frame path on its
+    frame (DP is exact)."""
+    yolo = YoloDetector(
+        model_path=None, model_type=ObjectModelType.YOLOV8, scale="n",
+        input_size=(160, 160), box_score=0.25,
     )
+    lane = UltrafastLaneDetectorV2(
+        model_path=None, model_type=LaneModelType.UFLDV2_TUSIMPLE
+    )
+    n = 2
+    ms = MultiStreamADAS(yolo, lane, n, frame_hw=(180, 320), mesh=None)
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (n, 180, 320, 3), dtype=np.uint8)
+    results = ms.process_batch(frames)
+
+    for i in range(n):
+        yolo.DetectFrame(frames[i])
+        expected = [
+            (o.label, round(o.conf, 4)) for o in yolo.object_info
+        ]
+        got = [(o.label, round(o.conf, 4)) for o in results[i]["objects"]]
+        assert got == expected
+
+
+def test_multistream_fetch_dedupes_replica_shards():
+    """(data=4, model=2) mesh: each data shard has 2 replicas; fetch must
+    not double-count them."""
+    yolo = YoloDetector(
+        model_path=None, model_type=ObjectModelType.YOLOV8, scale="n",
+        input_size=(160, 160), box_score=0.25,
+    )
+    lane = UltrafastLaneDetectorV2(
+        model_path=None, model_type=LaneModelType.UFLDV2_TUSIMPLE
+    )
+    mesh = make_mesh(8)  # default: model_parallel=2
+    assert mesh.devices.shape == (4, 2)
+    ms = MultiStreamADAS(yolo, lane, 4, frame_hw=(180, 320), mesh=mesh)
     frames = np.random.default_rng(1).integers(
-        0, 255, (2, 180, 320, 3), dtype=np.uint8
+        0, 255, (4, 180, 320, 3), dtype=np.uint8
     )
     results = ms.process_batch(frames)
-    assert len(results) == 2
-    h = ms.submit(frames)
-    import pytest
+    assert len(results) == 4
 
-    with pytest.raises(RuntimeError, match="pipeline"):
-        ms.submit(frames)
-    ms.fetch(h, frames)
-    assert all(s.tracker.frame_id == 2 for s in ms.streams)
+
+def test_per_stream_lane_isolation_and_probe():
+    """Each stream owns its lane_info (results include per-stream lane
+    geometry), and the compute probe runs chained steps in one dispatch."""
+    import jax
+
+    yolo = YoloDetector(
+        model_path=None, model_type=ObjectModelType.YOLOV8, scale="n",
+        input_size=(160, 160), box_score=0.25,
+    )
+    lane = UltrafastLaneDetectorV2(
+        model_path=None, model_type=LaneModelType.UFLDV2_TUSIMPLE
+    )
+    n = 2
+    ms = MultiStreamADAS(yolo, lane, n, frame_hw=(180, 320), mesh=None)
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 255, (n, 180, 320, 3), dtype=np.uint8)
+    results = ms.process_batch(frames)
+
+    infos = [r["lane_info"] for r in results]
+    assert infos[0] is not infos[1]
+    assert infos[0] is ms.streams[0].lane_info
+    assert infos[1] is ms.streams[1].lane_info
+    for r in results:
+        assert "lanes_points" in r and "lanes_status" in r
+        assert "area_status" in r
+
+    probe = ms.make_compute_probe(2)
+    x = np.asarray(ms._host_prep(frames))
+    out = jax.block_until_ready(
+        probe(ms.yolo.variables, ms.lane.variables, x)
+    )
+    assert np.isfinite(float(out))
 
 
 def test_multistream_nms_free_v10():
@@ -315,21 +387,6 @@ def test_serve_pipelined_matches_sequential():
     assert n == len(ticks)
     assert sorted(got) == list(range(len(ticks)))  # in-order, complete
     assert [got[i] for i in range(len(ticks))] == expected
-
-
-def test_serve_pipelined_rejects_device_kf():
-    yolo = YoloDetector(
-        model_path=None, model_type=ObjectModelType.YOLOV8, scale="n",
-        input_size=(160, 160), box_score=0.25,
-    )
-    lane = UltrafastLaneDetectorV2(
-        model_path=None, model_type=LaneModelType.UFLDV2_TUSIMPLE
-    )
-    ms = MultiStreamADAS(
-        yolo, lane, 2, frame_hw=(180, 320), mesh=None, device_kf=True
-    )
-    with pytest.raises(RuntimeError, match="depth-1"):
-        ms.serve_pipelined(iter([]), depth=2)
 
 
 def test_multistream_step_artifact_roundtrip(tmp_path):

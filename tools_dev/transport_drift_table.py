@@ -34,6 +34,7 @@ LADDER = [
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", default="l")
+    ap.add_argument("--family", default="YOLOV8")
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--rungs", default="all")
     args = ap.parse_args()
@@ -46,8 +47,9 @@ def main():
 
     enable_persistent_cache()
     yolo = YoloDetector(
-        model_path=None, model_type=ObjectModelType.YOLOV8,
-        scale=args.scale, input_size=(640, 640), box_score=0.25,
+        model_path=None, model_type=getattr(ObjectModelType, args.family),
+        scale=args.scale, input_size=(640, 640),
+        box_score=float(os.environ.get("DRIFT_BOX_SCORE", "0.25")),
         compute_dtype="bf16",
     )
     lane = UltrafastLaneDetectorV2(
