@@ -63,6 +63,45 @@ class StreamState:
         self.lane_info = LaneInfo()
 
 
+class _ExecutorNet:
+    """Adapter presenting an ONNX graph executor
+    (engine/onnx_engine.OnnxGraphEngine) with the native net's
+    ``apply(variables, x_nhwc)`` seam, so the fused multistream step
+    serves an exported ``.onnx`` graph exactly like a native flax graph
+    (one jitted step, device-resident, batched over streams).  The
+    executor's traceable prefix is the whole graph — a host tail
+    (NonMaxSuppression/NonZero) cannot ride the fused step."""
+
+    #: the fused preprocess's polyphase/planes fast paths are native-
+    #: graph features; the executor takes the plain NHWC input
+    stem_s2d_ok = False
+    stem_planes_margins = None
+
+    def __init__(self, engine):
+        from ..engine.onnx_engine import OnnxGraphEngine
+
+        if not isinstance(engine, OnnxGraphEngine):
+            raise TypeError(
+                "fused serving of an engine-backed detector requires an "
+                f"OnnxGraphEngine, got {type(engine).__name__}"
+            )
+        if engine._tail:
+            raise ValueError(
+                "ONNX graph has a dynamic host tail (NonMaxSuppression/"
+                "NonZero) — it cannot serve inside the fused device "
+                "step; re-export without the embedded NMS"
+            )
+        self._fn = engine._make_prefix_fn()
+        self._in_dtype = jnp.dtype(engine.engine_dtype)
+        self.dtype = self._in_dtype
+
+    def apply(self, variables, x):
+        # fused-step preprocess emits NHWC; exported graphs take the
+        # reference NCHW layout (convertPytorchToONNX.py:71-75)
+        xin = jnp.transpose(x, (0, 3, 1, 2)).astype(self._in_dtype)
+        return self._fn(variables, xin)[0]
+
+
 class MultiStreamADAS:
     """Batch-of-streams pipeline over a (data, model) mesh."""
 
@@ -125,6 +164,16 @@ class MultiStreamADAS:
         is_effdet = (
             getattr(yolo, "model_type", None) is ObjectModelType.EfficientDet
         )
+        if not hasattr(yolo, "net"):
+            # ONNX-graph-executed facade (object_detector.py extension
+            # dispatch): the executor's jit-able prefix serves as the
+            # net INSIDE the fused step — "any export runs at native
+            # speed" is the L0 promise (reference coreEngine.py:159-186)
+            # and it must hold on the serving path, not just for
+            # facade-level single-model calls
+            yolo.net = _ExecutorNet(yolo.engine)
+            if not hasattr(yolo, "variables"):
+                yolo.variables = yolo.engine._params
         if is_effdet:
             h = w = int(yolo.spec.input_size)
         else:

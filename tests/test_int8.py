@@ -938,6 +938,131 @@ class TestS8ConcatGroups:
         err_on = np.abs(on - f32).mean() / scale_m
         assert err_on < err_off * 1.3 + 1e-4, (err_on, err_off)
 
+    def test_v5lite_g_whole_net_s8(self, rng):
+        """v5Lite-g deploy form (RepVGG fused at ingest): RepBackbone's
+        tap-exit flag expressions and LitePAN's cross-scope unified neck
+        groups chain s8 through essentially the whole net — a regression
+        in the emit-flag branches must not merge silently (ADVICE r4).
+        Thresholds pinned from the 2026-08 trace (47 int8 convs, 40
+        consumes, 9 group concats at 96x96)."""
+        from adas_tpu.models import layers as L
+        from adas_tpu.models.yolo import YoloSpec, build_yolo
+        from adas_tpu.tools.quantize import calibrate_act_scales
+
+        spec = YoloSpec(
+            family="v5lite", scale="g", num_classes=80,
+            input_size=(96, 96),
+        )
+        net = build_yolo(spec)
+        x = jnp.asarray(rng.standard_normal((1, 96, 96, 3)), jnp.float32)
+        v = net.init(jax.random.PRNGKey(0), x)
+        f32 = np.asarray(net.apply(v, x), np.float32)
+        cal = calibrate_act_scales(
+            lambda vv, xi: net.apply(vv, xi, mutable=["act_scales"]),
+            v, [x],
+        )
+        groups = [
+            str(p)
+            for p, _ in jax.tree_util.tree_leaves_with_path(
+                cal["act_scales"]
+            )
+            if "xmax" in str(p)
+        ]
+        for name in ("neck_a_xmax", "neck_b_xmax"):
+            assert any(name in g for g in groups), (name, groups)
+
+        L.reset_trace_stats()
+
+        def f(vv, xx):
+            with quantized("int8"):
+                return net.apply(vv, xx)
+
+        jax.jit(f).lower(cal, x)  # trace only
+        stats = L.trace_stats()
+        assert stats["int8_convs"] >= 45, stats
+        assert stats["s8_consumes"] >= 38, stats
+        assert stats["s8_group_concats"] >= 9, stats
+        assert stats["bf16_convs"] <= 1, stats  # only the Cin=3 stem
+
+        def int8_out():
+            g = lambda vv, xx: f(vv, xx)  # noqa: E731 fresh identity
+            return np.asarray(jax.jit(g)(cal, x), np.float32)
+
+        prev = L._S8_CHAIN
+        try:
+            L.set_s8_chain(False)
+            off = int8_out()
+            L.set_s8_chain(True)
+            on = int8_out()
+        finally:
+            L.set_s8_chain(prev)
+        scale_m = np.abs(f32).mean()
+        err_off = np.abs(off - f32).mean() / scale_m
+        err_on = np.abs(on - f32).mean() / scale_m
+        assert err_on < err_off * 1.3 + 1e-4, (err_on, err_off)
+
+    def test_v10_whole_net_s8(self, rng):
+        """YOLOv10s calibrated chains: PSA emit_scale exit into group A,
+        SCDown's explicit quantize_to, C2fCIB group concats, the
+        depthwise CIB/PSA layers correctly held bf16 by the precision
+        policy (ADVICE r4).  Thresholds pinned from the 2026-08 trace
+        (62 int8 convs, 38 consumes, 13 group concats at 96x96)."""
+        from adas_tpu.models import layers as L
+        from adas_tpu.models.yolo import YoloSpec, build_yolo
+        from adas_tpu.tools.quantize import calibrate_act_scales
+
+        spec = YoloSpec(
+            family="v10", scale="s", num_classes=80, input_size=(96, 96),
+        )
+        net = build_yolo(spec)
+        x = jnp.asarray(rng.standard_normal((1, 96, 96, 3)), jnp.float32)
+        v = net.init(jax.random.PRNGKey(0), x)
+        f32 = np.asarray(net.apply(v, x), np.float32)
+        cal = calibrate_act_scales(
+            lambda vv, xi: net.apply(vv, xi, mutable=["act_scales"]),
+            v, [x],
+        )
+        groups = [
+            str(p)
+            for p, _ in jax.tree_util.tree_leaves_with_path(
+                cal["act_scales"]
+            )
+            if "xmax" in str(p)
+        ]
+        for name in ("neck_a_xmax", "neck_b_xmax"):
+            assert any(name in g for g in groups), (name, groups)
+
+        L.reset_trace_stats()
+
+        def f(vv, xx):
+            with quantized("int8"):
+                return net.apply(vv, xx)
+
+        jax.jit(f).lower(cal, x)  # trace only
+        stats = L.trace_stats()
+        assert stats["int8_convs"] >= 58, stats
+        assert stats["s8_consumes"] >= 35, stats
+        assert stats["s8_group_concats"] >= 12, stats
+        # CIB depthwise + PSA attention layers serve bf16 by policy
+        assert stats["bf16_convs"] >= 10, stats
+
+        def int8_out():
+            g = lambda vv, xx: f(vv, xx)  # noqa: E731 fresh identity
+            return np.asarray(jax.jit(g)(cal, x), np.float32)
+
+        prev = L._S8_CHAIN
+        try:
+            L.set_s8_chain(False)
+            off = int8_out()
+            L.set_s8_chain(True)
+            on = int8_out()
+        finally:
+            L.set_s8_chain(prev)
+        scale_m = np.abs(f32).mean()
+        err_off = np.abs(off - f32).mean() / scale_m
+        err_on = np.abs(on - f32).mean() / scale_m
+        assert err_on < err_off * 1.3 + 1e-4, (err_on, err_off)
+
     def test_sppf_pools_commute_with_quantize(self, rng):
         """max_pool_q(s8) == quantize(max_pool(dequant)) exactly."""
         from adas_tpu.models.layers import QTensor, max_pool, max_pool_q

@@ -64,7 +64,7 @@ def main():
             y2 = conv_s8(q1, w2).astype(jnp.float32) * s2
             y2 = y2 + x.astype(jnp.float32) * sx
             y = jax.nn.relu(y2)
-            return jnp.clip(jnp.round(y / so), -127, 127)
+            return jnp.clip(jnp.round(y / so), -127, 127).astype(jnp.int32)
         out = jax.lax.fori_loop(0, ITERS, body, x0.astype(jnp.int32))
         return jnp.sum(out)
 
@@ -92,6 +92,18 @@ def main():
         out = jax.lax.fori_loop(0, ITERS, body, x0.astype(jnp.int32))
         return jnp.sum(out)
 
+    def block_nhwc(x0):
+        def body(i, carry):
+            x = (carry + i).astype(jnp.int8)
+            o = PB.fused_block_nhwc(
+                x, sx, w1, s1, b1, sm, w2, s2, None, so,
+                act1="relu", act2=None, act_post="relu", residual=True,
+                interpret=False,
+            )
+            return o.astype(jnp.int32)
+        out = jax.lax.fori_loop(0, ITERS, body, x0.astype(jnp.int32))
+        return jnp.sum(out)
+
     from adas_tpu.ops import pallas_conv as PC
 
     def conv1x2(x0):
@@ -102,7 +114,7 @@ def main():
                 interpret=False,
             )
             y2 = PC.int8_conv3x3(
-                q1.data, w2, s2 * sm, None, None, out_scale=None,
+                q1, w2, s2 * sm, None, None, out_scale=None,
                 interpret=False,
             )
             y = jax.nn.relu(y2.astype(jnp.float32) + x.astype(jnp.float32) * sx)
@@ -112,7 +124,7 @@ def main():
 
     for name, fn in (
         ("xla2", xla2), ("block", block), ("boundary", block_noconv),
-        ("conv1x2", conv1x2),
+        ("block_nhwc", block_nhwc), ("conv1x2", conv1x2),
     ):
         try:
             ms = timeit(fn, xq)

@@ -68,34 +68,34 @@ def main():
     outdir = f"/tmp/block_trace_{MODE}"
     with jax.profiler.trace(outdir):
         float(p(v, x))
+    import json
+
     from xprof.convert import raw_to_tool_data
 
     xplanes = glob.glob(outdir + "/plugins/profile/*/*.xplane.pb")
     data, _ = raw_to_tool_data.xspace_to_tool_data(
-        xplanes, "hlo_stats", {"tqx": "out:csv;"}
+        xplanes, "hlo_stats", {"tqx": "out:json;"}
     )
     text = data.decode() if isinstance(data, bytes) else str(data)
-    import csv
-    import io
-
-    rows = list(csv.reader(io.StringIO(text)))
-    hdr = rows[0]
-    i_time = hdr.index("Total self time (us)") if "Total self time (us)" in hdr else None
-    if i_time is None:
-        print(hdr)
-        print(text[:3000])
-        return
-    i_cat = hdr.index("HLO op category") if "HLO op category" in hdr else 2
-    i_name = hdr.index("HLO op expression") if "HLO op expression" in hdr else 3
+    tbl = json.loads(text)
+    cols = [c["label"] for c in tbl["cols"]]
+    i_time = cols.index("Total self time (us)")
+    i_cat = cols.index("HLO op category")
+    i_name = (
+        cols.index("HLO op text")
+        if "HLO op text" in cols
+        else cols.index("HLO op name")
+    )
     agg = {}
     tops = []
-    for r in rows[1:]:
+    for row in tbl["rows"]:
+        c = [cell.get("v") if cell else None for cell in row["c"]]
         try:
-            t = float(r[i_time])
+            t = float(c[i_time])
         except Exception:
             continue
-        agg[r[i_cat]] = agg.get(r[i_cat], 0.0) + t
-        tops.append((t, r[i_cat], r[i_name][:110]))
+        agg[c[i_cat]] = agg.get(c[i_cat], 0.0) + t
+        tops.append((t, str(c[i_cat]), str(c[i_name])[:110]))
     print("== category totals (us, /%d iters) ==" % ITERS)
     for k, t in sorted(agg.items(), key=lambda kv: -kv[1])[:14]:
         print(f"{t/ITERS:9.1f}  {k}")
