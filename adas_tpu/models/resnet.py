@@ -210,9 +210,15 @@ class BasicBlock(nn.Module):
         # same names in the XLA path (flax NameInUseError) — the
         # compile probe only needs shapes
         interpret = jax.default_backend() != "tpu"
+        nhwc = PBK.block_layout() == "nhwc"
+        if nhwc and isinstance(x, PBK.PlanarQ):
+            x = _layers.QTensor(PBK.from_planar(x), x.scale)
         if not interpret:
             n = x.data.shape[0] if isinstance(x, PBK.PlanarQ) else x.shape[0]
-            if not PBK.block_compile_ok(
+            probe = (
+                PBK.block_nhwc_compile_ok if nhwc else PBK.block_compile_ok
+            )
+            if not probe(
                 n, hw[0], hw[1], cin, self.features, self.features,
                 "relu", None, "relu", True,
             ):
@@ -242,6 +248,26 @@ class BasicBlock(nn.Module):
                 "inconsistent calibration tree: out_ymax present but "
                 "conv1 xmax/ymax missing (recalibrate the model)"
             )
+        so = (
+            jnp.maximum(self.get_variable("act_scales", "out_ymax"), 1e-12)
+            / 127.0
+        )
+        _layers._TRACE_STATS["pallas_blocks"] += 1
+        if nhwc:
+            if isinstance(x, _layers.QTensor):
+                xq = x.data
+            else:
+                xq = jnp.clip(
+                    jnp.round(x.astype(jnp.float32) / xscale), -127, 127
+                ).astype(jnp.int8)
+            out = PBK.fused_block_nhwc(
+                xq, xscale,
+                w1q, w1s * xscale * gain1, fb1, y1s,
+                w2q, w2s * y1s * gain2, fb2, so,
+                act1="relu", act2=None, act_post="relu", residual=True,
+                interpret=interpret,
+            )
+            return _layers.QTensor(out, so)
         if isinstance(x, _layers.QTensor):
             xp = PBK.to_planar(x.data, x.scale)
         elif isinstance(x, PBK.PlanarQ):
@@ -251,11 +277,6 @@ class BasicBlock(nn.Module):
                 jnp.round(x.astype(jnp.float32) / xscale), -127, 127
             ).astype(jnp.int8)
             xp = PBK.to_planar(xq, xscale)
-        so = (
-            jnp.maximum(self.get_variable("act_scales", "out_ymax"), 1e-12)
-            / 127.0
-        )
-        _layers._TRACE_STATS["pallas_blocks"] += 1
         out = PBK.fused_block(
             xp,
             w1q, w1s * xscale * gain1, fb1, y1s,

@@ -185,9 +185,15 @@ class Bottleneck(nn.Module):
         # compile probe only needs shapes
         interpret = jax.default_backend() != "tpu"
         use_shortcut = self.shortcut  # cin == features established above
+        nhwc = PBK.block_layout() == "nhwc"
+        if nhwc and isinstance(x, PBK.PlanarQ):
+            x = L.QTensor(PBK.from_planar(x), x.scale)
         if not interpret:
             n = x.data.shape[0] if isinstance(x, PBK.PlanarQ) else x.shape[0]
-            if not PBK.block_compile_ok(
+            probe = (
+                PBK.block_nhwc_compile_ok if nhwc else PBK.block_compile_ok
+            )
+            if not probe(
                 n, hw[0], hw[1], cin, hidden, self.features,
                 "silu", "silu", None, use_shortcut,
             ):
@@ -207,12 +213,21 @@ class Bottleneck(nn.Module):
                 "inconsistent calibration tree: concat group scale "
                 "present but cv1 ymax missing (recalibrate the model)"
             )
+        L._TRACE_STATS["pallas_blocks"] += 1
+        if nhwc:
+            out = PBK.fused_block_nhwc(
+                x.data, x.scale,
+                w1q, w1s * x.scale * gain1, fb1, y1s,
+                w2q, w2s * y1s * gain2, fb2, emit_scale,
+                act1="silu", act2="silu", act_post=None,
+                residual=use_shortcut, interpret=interpret,
+            )
+            return L.QTensor(out, emit_scale)
         xp = (
             x
             if isinstance(x, PBK.PlanarQ)
             else PBK.to_planar(x.data, x.scale)
         )
-        L._TRACE_STATS["pallas_blocks"] += 1
         out = PBK.fused_block(
             xp,
             w1q, w1s * xp.scale * gain1, fb1, y1s,

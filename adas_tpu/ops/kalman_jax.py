@@ -6,12 +6,14 @@ velocity model, std weights and Cholesky update, but expressed as fixed-
 shape jnp ops batched over a padded track tensor (SURVEY.md §2.2
 "batched-KF predict/update ... jax.scipy cho_factor/cho_solve via vmap").
 
-Consumer: ``pipeline/multistream.py`` with ``device_kf=True`` runs
-``predict`` over every stream's track pool INSIDE the fused device step —
-the track states ride the frame upload, the predictions ride the packed
-fetch, and the host tracker applies them via
+Consumers: externally-computed predictions feed the host tracker via
 ``BYTETracker.update(predicted=...)`` instead of its numpy
 ``multi_predict`` (equivalence tested in tests/test_multistream.py).
+The round-3 serving mode that ran ``predict`` inside the fused device
+step was RETIRED in round 5 — it required depth-1 submit/fetch pairing
+and pipelined host-KF serving beats it >2x (design note in
+pipeline/multistream.py); these ops remain as the tested device twins
+of tracking/kalman.py.
 
 All functions take/return (N, 8) means and (N, 8, 8) covariances and are
 safe under ``jax.jit``/``vmap``; padding rows just carry garbage states

@@ -366,6 +366,336 @@ def block_compile_ok(
         return False
 
 
+def _block_kernel_nhwc(
+    *,
+    band: int,
+    h: int,
+    w: int,
+    wpad: int,
+    cin: int,
+    cmid: int,
+    cout: int,
+    act1: Optional[str],
+    act2: Optional[str],
+    act_post: Optional[str],
+    residual: bool,
+):
+    """NHWC-I/O variant: reads row-padded NHWC s8 (N, H+4, W, C) and
+    writes plain NHWC s8 (N, H, W, Cout).
+
+    The profile of the planar variant showed the kernel 2x faster than
+    XLA's convs but the XLA-side planar boundary costing 3x the win
+    (transposes + upstream layout poisoning + unfused pool).  Here the
+    NHWC->planar relayout happens IN VMEM, per band: each DMA'd input
+    row transposes once into the planar scratch the K-packed dots want,
+    and each output row (cout, w) transposes back before the store —
+    two small relayouts per row against six K=3C dots, with no XLA
+    transpose anywhere.
+
+    Mosaic/axon constraints shaped two details (bisected 2026-08-19):
+    a DMA into a VMEM scratch whose lane dim is < 128 crashes the
+    compile helper, and a reshape that changes the lane count of s8
+    data crashes it too — so the input arrives CHANNEL-PADDED to 128
+    lanes (cheap XLA s8 pad), the tile transposes whole (128, w), and
+    the value is SLICED back to cin rows for the compact planar scratch
+    (slicing a value is free; K stays 3*cin on the MXU).
+    """
+    a1, a2, ap = _act(act1), _act(act2), _act(act_post)
+    rows_in = band + 4
+    wmid = w + 2
+    cpad = max(cin, 128)
+
+    def kernel(x_hbm, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+               q_ref, o_ref, xt, xpl, mt, sem):
+        n = pl.program_id(0)
+        j = pl.program_id(1)
+        nbands = pl.num_programs(1)
+        total = pl.num_programs(0) * nbands
+
+        def issue(n_, j_, slot, do_wait):
+            dma = pltpu.make_async_copy(
+                x_hbm.at[n_, pl.ds(j_ * band, rows_in), :, :],
+                xt.at[slot],
+                sem.at[slot],
+            )
+            if do_wait:
+                dma.wait()
+            else:
+                dma.start()
+
+        step = n * nbands + j
+        slot = jax.lax.rem(step, 2)
+
+        @pl.when(step == 0)
+        def _():
+            issue(n, j, slot, False)
+            # planar scratch pad columns (0,1 and w+2..) are never
+            # written by the per-row transpose: zero once — the scratch
+            # persists across grid steps
+            xpl[...] = jnp.zeros_like(xpl)
+
+        nxt = step + 1
+
+        @pl.when(nxt < total)
+        def _():
+            issue(
+                jax.lax.div(nxt, nbands), jax.lax.rem(nxt, nbands),
+                jax.lax.rem(nxt, 2), False,
+            )
+
+        issue(n, j, slot, True)
+
+        # VMEM relayout: NHWC row (w, cpad) -> planar; the channel pad
+        # drops in the value slice (cin rows of the transpose)
+        for k in range(rows_in):
+            xpl[k, :, 2 : 2 + w] = xt[slot, k].T[:cin]
+
+        s1 = s1_ref[:]
+        b1 = b1_ref[:]
+        s2 = s2_ref[:]
+        b2 = b2_ref[:]
+        qinv_mid = q_ref[0, 0]
+        res_scale = q_ref[0, 1]
+        qinv_out = q_ref[0, 2]
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, wmid), 1)
+        col_ok = (col >= 1) & (col <= w)
+
+        for k in range(band + 2):
+            acc = None
+            for dx in range(3):
+                a_mat = xpl[k : k + 3, :, dx : dx + wmid].reshape(
+                    3 * cin, wmid
+                )
+                part = jax.lax.dot_general(
+                    w1_ref[dx], a_mat,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                acc = part if acc is None else acc + part
+            y1 = a1(acc.astype(jnp.float32) * s1 + b1)
+            q1 = jnp.clip(jnp.round(y1 * qinv_mid), -127, 127)
+            m = j * band - 1 + k
+            row_ok = jnp.logical_and(m >= 0, m <= h - 1)
+            mt[k, :, :wmid] = jnp.where(
+                jnp.logical_and(row_ok, col_ok), q1, 0.0
+            ).astype(jnp.int8)
+
+        for i in range(band):
+            acc = None
+            for dx in range(3):
+                a_mat = mt[i : i + 3, :, dx : dx + w].reshape(
+                    3 * cmid, w
+                )
+                part = jax.lax.dot_general(
+                    w2_ref[dx], a_mat,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                acc = part if acc is None else acc + part
+            y = a2(acc.astype(jnp.float32) * s2 + b2)
+            if residual:
+                xres = xpl[i + 2, :, 2 : 2 + w].astype(jnp.float32)
+                y = y + xres * res_scale
+            y = ap(y)
+            q = jnp.clip(jnp.round(y * qinv_out), -127, 127)
+            # planar (cout, w) -> NHWC row store
+            o_ref[0, i, :, :] = q.astype(jnp.int8).T
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=64)
+def _make_block_nhwc_fn(
+    h: int,
+    w: int,
+    cin: int,
+    cmid: int,
+    cout: int,
+    act1: Optional[str],
+    act2: Optional[str],
+    act_post: Optional[str],
+    residual: bool,
+    interpret: bool,
+):
+    wpad = planar_wpad(w)
+    cpad = max(cin, 128)
+
+    def call(xp, w1, s1, b1, w2, s2, b2, qvec):
+        n = xp.shape[0]
+        # band: largest divisor of H within a conservative VMEM budget
+        # (NHWC tiles double-buffered + planar relayout + mid + banded
+        # output; no persistent full plane here)
+        budget = 9 * 1024 * 1024
+        band = 1
+        for cand in range(min(h, 64), 0, -1):
+            tile = (
+                2 * (cand + 4) * w * cpad         # xt (s8)
+                + (cand + 4) * cin * wpad         # xpl (s8)
+                + (cand + 2) * cmid * wpad        # mt (s8)
+                + 2 * cand * w * cout             # out block (dbl-buf)
+            )
+            if h % cand == 0 and tile <= budget:
+                band = cand
+                break
+        kernel = _block_kernel_nhwc(
+            band=band, h=h, w=w, wpad=wpad, cin=cin, cmid=cmid,
+            cout=cout, act1=act1, act2=act2, act_post=act_post,
+            residual=residual,
+        )
+        grid = (n, h // band)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n, h, w, cout), jnp.int8),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3), memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, band, w, cout),
+                lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, band + 4, w, cpad), jnp.int8),
+                pltpu.VMEM((band + 4, cin, wpad), jnp.int8),
+                pltpu.VMEM((band + 2, cmid, wpad), jnp.int8),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(xp, w1, s1, b1, w2, s2, b2, qvec)
+
+    vcall = jax.custom_batching.custom_vmap(call)
+
+    @vcall.def_vmap
+    def _rule(axis_size, in_batched, xp, w1, s1, b1, w2, s2, b2, qvec):
+        if any(in_batched[1:]) or not in_batched[0]:
+            raise NotImplementedError(
+                "fused_block_nhwc vmap maps over the input only"
+            )
+        lead = xp.shape[:2]
+        flat = xp.reshape((lead[0] * lead[1],) + xp.shape[2:])
+        out = call(flat, w1, s1, b1, w2, s2, b2, qvec)
+        return out.reshape(lead + out.shape[1:]), True
+
+    return jax.jit(vcall)
+
+
+@functools.lru_cache(maxsize=128)
+def block_nhwc_compile_ok(
+    n: int,
+    h: int,
+    w: int,
+    cin: int,
+    cmid: int,
+    cout: int,
+    act1: Optional[str],
+    act2: Optional[str],
+    act_post: Optional[str],
+    residual: bool,
+) -> bool:
+    """AOT compile-probe for the NHWC-I/O block kernel."""
+    try:
+        fn = _make_block_nhwc_fn(
+            h, w, cin, cmid, cout, act1, act2, act_post, residual, False
+        )
+        s8 = jnp.int8
+        f32 = jnp.float32
+        fn.lower(
+            jax.ShapeDtypeStruct((n, h + 4, w, max(cin, 128)), s8),
+            jax.ShapeDtypeStruct((3, cmid, 3 * cin), s8),
+            jax.ShapeDtypeStruct((cmid, 1), f32),
+            jax.ShapeDtypeStruct((cmid, 1), f32),
+            jax.ShapeDtypeStruct((3, cout, 3 * cmid), s8),
+            jax.ShapeDtypeStruct((cout, 1), f32),
+            jax.ShapeDtypeStruct((cout, 1), f32),
+            jax.ShapeDtypeStruct((1, 3), f32),
+        ).compile()
+        return True
+    except Exception as e:  # pragma: no cover - backend-dependent
+        warnings.warn(
+            f"pallas NHWC fused block failed to compile for ({n},{h},{w},"
+            f"{cin}->{cmid}->{cout}); serving the XLA block instead: {e}"
+        )
+        return False
+
+
+def fused_block_nhwc(
+    xq: jnp.ndarray,
+    xscale,
+    w1q: jnp.ndarray,
+    scale1: jnp.ndarray,
+    bias1: Optional[jnp.ndarray],
+    mid_scale: jnp.ndarray,
+    w2q: jnp.ndarray,
+    scale2: jnp.ndarray,
+    bias2: Optional[jnp.ndarray],
+    out_scale: jnp.ndarray,
+    *,
+    act1: Optional[str],
+    act2: Optional[str],
+    act_post: Optional[str],
+    residual: bool,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """NHWC-I/O fused block: (N, H, W, C) s8 in -> (N, H, W, Cout) s8
+    out (quantized at ``out_scale``).  The only XLA-side prep is a
+    2-row zero pad on H plus a channel pad to 128 lanes (both cheap
+    same-layout s8 pads — no transposes, no layout poisoning; the lane
+    pad exists because a DMA into a <128-lane VMEM scratch crashes the
+    Mosaic compile helper).  Scales as in :func:`fused_block`."""
+    n, h, w, cin = xq.shape
+    cmid = w1q.shape[-1]
+    cout = w2q.shape[-1]
+    if residual and cout != cin:
+        raise ValueError("residual fused_block requires cout == cin")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    cp = max(cin, 128) - cin
+    xp = jnp.pad(xq, ((0, 0), (2, 2), (0, 0), (0, cp)))
+    w1p = pack_w2(w1q)
+    w2p = pack_w2(w2q)
+    f32 = jnp.float32
+    s1 = jnp.asarray(scale1, f32).reshape(cmid, 1)
+    b1 = (
+        jnp.zeros((cmid, 1), f32)
+        if bias1 is None
+        else jnp.asarray(bias1, f32).reshape(cmid, 1)
+    )
+    s2 = jnp.asarray(scale2, f32).reshape(cout, 1)
+    b2 = (
+        jnp.zeros((cout, 1), f32)
+        if bias2 is None
+        else jnp.asarray(bias2, f32).reshape(cout, 1)
+    )
+    qvec = jnp.stack(
+        [
+            1.0 / jnp.asarray(mid_scale, f32).reshape(()),
+            jnp.asarray(xscale, f32).reshape(()),
+            1.0 / jnp.asarray(out_scale, f32).reshape(()),
+        ]
+    ).reshape(1, 3)
+    fn = _make_block_nhwc_fn(
+        h, w, cin, cmid, cout, act1, act2, act_post, residual, interpret
+    )
+    return fn(xp, w1p, s1, b1, w2p, s2, b2, qvec)
+
+
+def block_layout() -> str:
+    """Which fused-block I/O layout serves: "nhwc" (default — in-kernel
+    relayout, no XLA transposes; the planar variant's XLA boundary cost
+    3x its compute win, profiled 2026-08-19) or "planar"
+    (``ADAS_PALLAS_BLOCK_LAYOUT=planar``, the A/B mode)."""
+    return os.environ.get("ADAS_PALLAS_BLOCK_LAYOUT", "nhwc")
+
+
 def block_shape_wins(h: int, w: int, cin: int) -> bool:
     """Roofline gate: the K-packed planar formulation beats XLA where
     the 128-lane MXU is channel-starved — Cin <= 64 at high spatial

@@ -499,7 +499,67 @@ def _config5(rng) -> dict:
         ),
         frame,
     )
+    out["c5_onnx_exec_v8n_8streams"] = _config5_onnx(rng, downscale, depth)
     return out
+
+
+def _config5_onnx(rng, downscale, depth) -> dict:
+    """ONNX-sourced fused serving (VERDICT r4 #5): export YOLOv8n to
+    .onnx (tools/onnx_export.py), load it back through the facade's
+    graph executor, and serve it INSIDE the fused multistream step
+    (multistream._ExecutorNet) — "any export runs at native speed" is
+    the L0 promise (reference coreEngine.py:159-186), measured on the
+    serving path, not just facade calls."""
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from adas_tpu.models.yolo import YoloSpec, build_yolo
+    from adas_tpu.perception.lane_detector import UltrafastLaneDetectorV2
+    from adas_tpu.perception.object_detector import YoloDetector
+    from adas_tpu.pipeline.multistream import MultiStreamADAS
+    from adas_tpu.tools.onnx_export import export_fn_to_onnx
+    from adas_tpu.utils.types import LaneModelType, ObjectModelType
+
+    spec = YoloSpec(
+        family="v8", scale="n", num_classes=80, input_size=(640, 640)
+    )
+    net = build_yolo(spec)
+    import jax
+
+    v = net.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 640, 640, 3), jnp.float32)
+    )
+
+    def fn(xin):
+        return net.apply(v, jnp.transpose(xin, (0, 2, 3, 1)))
+
+    path = tempfile.mktemp(suffix=".onnx")
+    export_fn_to_onnx(
+        fn, [jnp.zeros((1, 3, 640, 640), jnp.float32)], path,
+        ["images"], ["output0"],
+    )
+    yolo = YoloDetector(
+        model_path=path, model_type=ObjectModelType.YOLOV8,
+        onnx_mode="graph", box_score=0.25,
+    )
+    lane = UltrafastLaneDetectorV2(
+        model_path=None, model_type=LaneModelType.UFLDV2_CULANE,
+    )
+    ms = MultiStreamADAS(
+        yolo, lane, N_STREAMS, frame_hw=(720, 1280),
+        host_downscale=downscale, transport="i420",
+    )
+    batches = [
+        rng.integers(0, 255, (N_STREAMS, 720, 1280, 3), dtype=np.uint8)
+        for _ in range(2)
+    ]
+    for b in batches:
+        ms.process_batch(b)
+    return {
+        "e2e_fps": round(_pipelined_fps(ms, batches, depth), 2),
+        "compute_fps": round(_compute_fps(ms, batches), 2),
+    }
 
 
 def main() -> None:

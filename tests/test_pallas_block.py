@@ -111,6 +111,38 @@ def test_fused_block_matches_xla(rng, acts, residual, shape):
     assert (diff != 0).mean() < 5e-3
 
 
+@pytest.mark.parametrize("acts,residual", CASES)
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (2, 16, 40, 8, 8),
+        (1, 8, 130, 32, 32),
+    ],
+)
+def test_fused_block_nhwc_matches_xla(rng, acts, residual, shape):
+    """The NHWC-I/O variant (in-kernel relayout, no XLA transposes)
+    computes the identical block."""
+    n, h, w, cin, cmid = shape
+    cout = cin
+    act1, act2, act_post = acts
+    xq, sx, w1q, s1, b1, sm, w2q, s2, b2, so = _mk(
+        rng, n, h, w, cin, cmid, cout
+    )
+    ref = xla_block_ref(
+        xq, sx, w1q, s1, b1, sm, w2q, s2, b2, so,
+        act1, act2, act_post, residual,
+    )
+    got = PB.fused_block_nhwc(
+        xq, sx, w1q, s1, b1, sm, w2q, s2, b2, so,
+        act1=act1, act2=act2, act_post=act_post, residual=residual,
+        interpret=True,
+    )
+    assert got.shape == ref.shape and got.dtype == jnp.int8
+    diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+    assert (diff != 0).mean() < 5e-3
+
+
 def test_planar_roundtrip(rng):
     xq = jnp.asarray(rng.integers(-100, 100, (2, 10, 50, 16)), jnp.int8)
     p = PB.to_planar(xq, jnp.float32(0.1))

@@ -28,10 +28,12 @@ def _calibrate(net, v, xs):
 
 
 class TestResNetBlocks:
-    def test_lane_trunk_fused_blocks(self, rng, monkeypatch):
+    @pytest.mark.parametrize("layout", ["nhwc", "planar"])
+    def test_lane_trunk_fused_blocks(self, rng, monkeypatch, layout):
         """ResNet18 layer1 (2 stride-1 blocks at 80x80x64 for a 320^2
-        input) serves both bodies via the fused kernel, chained planar,
-        and matches the XLA path within the yardstick."""
+        input) serves both bodies via the fused kernel — both I/O
+        layouts — and matches the XLA path within the yardstick."""
+        monkeypatch.setenv("ADAS_PALLAS_BLOCK_LAYOUT", layout)
         from adas_tpu.models.resnet import ResNetFeatures
 
         net = ResNetFeatures(depth="18")

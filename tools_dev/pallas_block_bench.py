@@ -49,10 +49,18 @@ def chain(apply_fn, variables, x):
 
 
 def _modes():
+    # planar layout: the NHWC variant's in-kernel transposes measured
+    # slower than XLA's (block_kernel_probe 2026-08-19)
     return [
         ("xla", {"ADAS_PALLAS_BLOCK": "0"}),
-        ("blocks_c64", {"ADAS_PALLAS_BLOCK": "", "ADAS_PALLAS_BLOCK_MAXC": "64"}),
-        ("blocks_c128", {"ADAS_PALLAS_BLOCK": "", "ADAS_PALLAS_BLOCK_MAXC": "128"}),
+        ("blocks_c64", {
+            "ADAS_PALLAS_BLOCK": "", "ADAS_PALLAS_BLOCK_MAXC": "64",
+            "ADAS_PALLAS_BLOCK_LAYOUT": "planar",
+        }),
+        ("blocks_c128", {
+            "ADAS_PALLAS_BLOCK": "", "ADAS_PALLAS_BLOCK_MAXC": "128",
+            "ADAS_PALLAS_BLOCK_LAYOUT": "planar",
+        }),
     ]
 
 
