@@ -262,11 +262,22 @@ def _make_block_fn(
         # input + mid + persistent output plane) fits a ~10 MB budget
         # (VMEM is ~16 MB/core; a small band pays 4 halo DMA rows and 2
         # recomputed mid rows per band — band 10 costs ~40% extra input
-        # reads where band 40 costs ~10%)
+        # reads where band 40 costs ~10%).  The conv loops unroll per
+        # band row, and Mosaic's scoped-vmem STACK grows with the live
+        # unrolled intermediates — at cin >= 128 a band of 40 blew the
+        # 16 MB scoped limit (measured 2026-08-19: 18.99M for
+        # 40x200x128; the compile probe degraded it to XLA).  Cap the
+        # unroll where channels are wide; ``ADAS_PALLAS_BLOCK_BAND``
+        # overrides for measurement.
         budget = 10 * 1024 * 1024
+        cap = os.environ.get("ADAS_PALLAS_BLOCK_BAND")
+        if cap is not None:
+            cap = int(cap)
+        else:
+            cap = 64 if cin <= 64 else 10
         out_bytes = (h + 4) * cout * wpad
         band = 1
-        for cand in range(min(h, 64), 0, -1):
+        for cand in range(min(h, cap), 0, -1):
             tile = 2 * (cand + 4) * cin * wpad + (cand + 2) * cmid * wpad
             if h % cand == 0 and tile + out_bytes <= budget:
                 band = cand
@@ -689,18 +700,29 @@ def fused_block_nhwc(
 
 
 def block_layout() -> str:
-    """Which fused-block I/O layout serves: "nhwc" (default — in-kernel
-    relayout, no XLA transposes; the planar variant's XLA boundary cost
-    3x its compute win, profiled 2026-08-19) or "planar"
-    (``ADAS_PALLAS_BLOCK_LAYOUT=planar``, the A/B mode)."""
-    return os.environ.get("ADAS_PALLAS_BLOCK_LAYOUT", "nhwc")
+    """Which fused-block I/O layout serves: "planar" (default) or "nhwc"
+    (``ADAS_PALLAS_BLOCK_LAYOUT=nhwc``).
+
+    Measured on the REAL serving path (tools_dev/serving_block_ab.py,
+    8-stream YOLOv8l+UFLDv2 int8 compute probe, one tunnel window,
+    2026-08-19): off 490.7 fps / nhwc 516.9 / PLANAR 526.8 (+7.4% over
+    off, 5 blocks engaged at the c<=64 gate).  The earlier "planar
+    boundary costs 3x its win" verdict was a MICROBENCH artifact: with
+    the XLA stem, the NHWC->planar relayout poisons the upstream layout
+    chain, but serving runs the Pallas fused stem, and the planar
+    boundary there is one cheap s8 pad+transpose per fused chain.  The
+    NHWC-I/O variant's in-kernel per-row transposes price it between
+    the two."""
+    return os.environ.get("ADAS_PALLAS_BLOCK_LAYOUT", "planar")
 
 
 def block_shape_wins(h: int, w: int, cin: int) -> bool:
     """Roofline gate: the K-packed planar formulation beats XLA where
     the 128-lane MXU is channel-starved — Cin <= 64 at high spatial
     resolution (BASELINE.md round-3/4 roofline + isolated kernel bench;
-    Cin >= 128 filled the lanes and lost isolated).  Measurement knob:
+    Cin >= 128 filled the lanes and lost isolated).  The serving A/B
+    confirmed the gate end-to-end: maxc 64 = 526.8 fps vs maxc 128 =
+    419.8 (15 blocks, the wide ones all losses).  Measurement knob:
     ``ADAS_PALLAS_BLOCK_MAXC`` widens the channel bound."""
     maxc = int(os.environ.get("ADAS_PALLAS_BLOCK_MAXC", "64"))
     return cin <= maxc and h * w >= 80 * 80 and h >= 8

@@ -644,11 +644,15 @@ def main() -> None:
         )
         for b in batches:  # compile + settle the transport path
             m.process_batch(b)
+        from adas_tpu.ops import pallas_block as PBK
+
         m.provenance = {
             "s8_chain_enabled": L._S8_CHAIN,
             "pallas_conv_policy": __import__(
                 "adas_tpu.ops.pallas_conv", fromlist=["x"]
             ).pallas_conv_policy(),
+            "pallas_block_policy": PBK.pallas_block_policy(),
+            "pallas_block_layout": PBK.block_layout(),
             "pallas_stem": dict(PS.STEM_STATS),
             **L.trace_stats(),
             "calibrated": {

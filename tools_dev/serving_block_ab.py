@@ -87,24 +87,31 @@ def compute_fps(ms, batch):
     return ITERS * N / max(t2 - t1, 1e-6), stats
 
 
+MODES = {
+    # mode -> (ADAS_PALLAS_BLOCK, layout, maxc)
+    "off": ("0", "planar", "64"),
+    "nhwc64": (None, "nhwc", "64"),       # the shipping default
+    "planar64": (None, "planar", "64"),
+    "planar128": (None, "planar", "128"),
+}
+
+
 def main():
     rng = np.random.default_rng(0)
-    for mode, env in (
-        ("off", "0"), ("planar", None), ("c128", None),
-    ):
+    names = sys.argv[2:] or list(MODES)
+    for mode in names:
+        env, layout, maxc = MODES[mode]
         if env is None:
             os.environ.pop("ADAS_PALLAS_BLOCK", None)
         else:
             os.environ["ADAS_PALLAS_BLOCK"] = env
-        os.environ["ADAS_PALLAS_BLOCK_LAYOUT"] = "planar"
-        os.environ["ADAS_PALLAS_BLOCK_MAXC"] = (
-            "128" if mode == "c128" else "64"
-        )
+        os.environ["ADAS_PALLAS_BLOCK_LAYOUT"] = layout
+        os.environ["ADAS_PALLAS_BLOCK_MAXC"] = maxc
         jax.clear_caches()
         ms, batch = build(rng)
         fps, stats = compute_fps(ms, batch)
         print(
-            f"serving compute_fps [{mode:7s}] {fps:8.2f}  "
+            f"serving compute_fps [{mode:9s}] {fps:8.2f}  "
             f"pallas_blocks={stats['pallas_blocks']}",
             flush=True,
         )
