@@ -871,7 +871,11 @@ class ConvBN(nn.Module):
         return x
 
 
-def polyphase_stride2_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+def polyphase_stride2_conv(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    preferred_element_type=None,
+) -> jnp.ndarray:
     """Exact stride-2 odd-k conv evaluated over 2x2 polyphases.
 
     XLA's direct lowering of a stride-2 conv with C_in=3 pads the input
@@ -882,6 +886,12 @@ def polyphase_stride2_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     identical convolution (torch ``pad=k//2`` semantics) runs ~3x faster
     on the stem convs (measured on the ResNet 7x7 and YOLO 3x3 stems).
     Requires odd k, stride 2, even H/W, no groups/dilation.
+
+    ``preferred_element_type`` passes through to the conv (int32 for
+    W8A8 probes).  NOTE: for s8 inputs the polyphase form measured ~4x
+    SLOWER than the direct strided conv on TPU (the s8 transpose tax
+    dominates; tools_dev/s2d_down_bench.py) — the int8 serving path
+    deliberately does NOT use it.
     """
     from ..ops.preprocess import S2DInput
 
@@ -927,6 +937,7 @@ def polyphase_stride2_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
         dimension_numbers=jax.lax.conv_dimension_numbers(
             xs.shape, w2.shape, ("NHWC", "HWIO", "NHWC")
         ),
+        preferred_element_type=preferred_element_type,
     )
 
 

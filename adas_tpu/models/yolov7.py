@@ -106,8 +106,15 @@ class YoloV7(nn.Module):
         # so the whole deploy graph rides 1-byte activations — TRT's
         # whole-network int8 (reference sketch
         # convertOnnxToTensorRT.py:28-99).
+        # one scale OBJECT per group per trace: some groups are fetched
+        # at two sites (mp76/mp89 route emission + the head_mp concat)
+        # and qconcat's membership guard checks scale identity
+        _gsc_cache = {}
+
         def gsc(name):
-            return s8_group_scale(self, name)
+            if name not in _gsc_cache:
+                _gsc_cache[name] = s8_group_scale(self, name)
+            return _gsc_cache[name]
 
         def conv(i, src, c, k, stride=1, emit_q=False, emit_scale=None):
             t[i] = ConvBN(

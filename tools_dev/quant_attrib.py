@@ -81,11 +81,13 @@ def build_ms():
 def rows_from_trace(outdir):
     from xprof.convert import raw_to_tool_data
 
-    xplanes = glob.glob(outdir + "/plugins/profile/*/*.xplane.pb")
+    # newest capture dir only: mixing xplanes from different profiler
+    # sessions makes the converter return the string "None"
+    xplanes = sorted(glob.glob(outdir + "/plugins/profile/*/*.xplane.pb"))
     if not xplanes:
         raise SystemExit("no xplane captured under " + outdir)
     data, _ = raw_to_tool_data.xspace_to_tool_data(
-        xplanes, "hlo_stats", {"tqx": "out:csv;"}
+        [xplanes[-1]], "hlo_stats", {"tqx": "out:csv;"}
     )
     text = data.decode() if isinstance(data, bytes) else str(data)
     d = json.loads(text)
