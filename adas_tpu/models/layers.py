@@ -55,6 +55,7 @@ _TRACE_STATS = {
     "s8_group_concats": 0,  # concats performed in the s8 domain
     "pallas_convs": 0,      # convs served by ops/pallas_conv.py
     "pallas_blocks": 0,     # two-conv bodies served by ops/pallas_block.py
+    "w2c_downs": 0,         # strided convs W-phase-merged (_maybe_w2c_down_conv)
     "int8_dense": 0,        # dense layers lowered W8A8
 }
 
@@ -467,16 +468,20 @@ def int8_conv_apply(
     )
     if pallas_y is not None:
         return pallas_y
-    acc = jax.lax.conv_general_dilated(
-        xq,
-        wq,
-        strides,
-        [tuple(p) for p in padding],
-        rhs_dilation=kernel_dilation,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=feature_group_count,
-        preferred_element_type=jnp.int32,
+    acc = _maybe_w2c_down_conv(
+        xq, wq, strides, padding, feature_group_count, kernel_dilation
     )
+    if acc is None:
+        acc = jax.lax.conv_general_dilated(
+            xq,
+            wq,
+            strides,
+            [tuple(p) for p in padding],
+            rhs_dilation=kernel_dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=feature_group_count,
+            preferred_element_type=jnp.int32,
+        )
     # fused epilogue: ONE per-channel affine covering dequant + BN(+bias)
     scale = wscale * xscale
     bias = None
@@ -505,6 +510,79 @@ def int8_conv_apply(
         # concat consumers read 2 bytes, not 4); epilogue math stays f32
         y = y.astype(jnp.bfloat16)
     return y
+
+
+def _maybe_w2c_down_conv(
+    xq, wq, strides, padding, groups, dilation
+) -> Optional[jnp.ndarray]:
+    """W-phase channel-merge rewrite of a narrow strided s8 conv.
+
+    XLA:TPU's layout heuristic turns a 3x3 stride-2 conv with Cin<=64
+    (every YOLO family's first downsample after the stem at 640 input,
+    e.g. v8l ``down1`` 64->128 at 320x320) into a disaster: it assigns
+    the convolution a ``{3,0,2,1}`` N-interleaved layout and fuses a
+    full relayout ``copy`` of the input INTO the conv fusion — measured
+    39.7 TF/s in situ (765 us/tick on the 8-stream flagship) vs
+    126.7 TF/s for the identical conv isolated and ~220 TF/s for its
+    Cin=128 sibling ``down2`` (round-5 attribution,
+    tools_dev/quant_attrib.py + down1_layout_probe.py; the layouts are
+    visible in the dumped fusion).
+
+    The fix exploits NHWC row-major adjacency: merging each pair of
+    adjacent W columns into channels, ``(N,H,W,C) -> (N,H,W/2,2C)``, is
+    a FREE reshape (pure bitcast — W and C are the two minor dims), and
+    under it the 3x3 stride-(2,2) conv becomes an EXACTLY equivalent
+    3x2 stride-(2,1) conv with Cin=2C and one zero-padded quarter in
+    the rearranged kernel:
+
+        out[m,u] = sum_{r,t} in[2m+r-1, 2u+t-1] K[r,t]
+                 = sum_{r,s} x2[2m+r-1, u+s-1]  K2[r,s]
+        K2[r,0,C:] = K[r,0] ; K2[r,1,:C] = K[r,1] ; K2[r,1,C:] = K[r,2]
+
+    (s indexes the 2-tap W window, pad W=(1,0); the zero quarter makes
+    the s32 accumulator BIT-IDENTICAL to the direct conv — pinned by
+    tests/test_w2c_down.py).  Cin=2C=128 fills the MXU lanes, so XLA
+    should keep the standard layout at 1.33x the FLOPs; in-situ TPU
+    measurement pending (tunnel outage at implementation time) — see
+    BASELINE.md for the measured verdict.
+    The earlier polyphase space-to-depth attempt (REFUTED, see
+    tools_dev/s2d_down_bench.py) lost because its phase split is a real
+    s8 transpose; this one is a bitcast.
+
+    Returns the s32 accumulator, or None when ineligible
+    (``ADAS_W2C_DOWN=0`` kills it; eligibility = 3x3, stride (2,2),
+    pad ((1,1),(1,1)), no groups/dilation, Cin<=64, even W).
+    """
+    if os.environ.get("ADAS_W2C_DOWN", "1") == "0":
+        return None
+    pad = tuple(tuple(p) for p in padding)
+    if (
+        xq.ndim != 4
+        or wq.shape[:2] != (3, 3)
+        or tuple(strides) != (2, 2)
+        or pad != ((1, 1), (1, 1))
+        or groups != 1
+        or tuple(dilation) != (1, 1)
+        or xq.shape[-1] > 64
+        or xq.shape[2] % 2
+    ):
+        return None
+    n, h, w, c = xq.shape
+    cout = wq.shape[-1]
+    x2 = xq.reshape(n, h, w // 2, 2 * c)
+    w2 = jnp.zeros((3, 2, 2 * c, cout), wq.dtype)
+    w2 = w2.at[:, 0, c:, :].set(wq[:, 0])
+    w2 = w2.at[:, 1, :c, :].set(wq[:, 1])
+    w2 = w2.at[:, 1, c:, :].set(wq[:, 2])
+    _TRACE_STATS["w2c_downs"] += 1
+    return jax.lax.conv_general_dilated(
+        x2,
+        w2,
+        (2, 1),
+        ((1, 1), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
 
 
 def _maybe_pallas_conv(
