@@ -541,20 +541,38 @@ def _maybe_w2c_down_conv(
 
     (s indexes the 2-tap W window, pad W=(1,0); the zero quarter makes
     the s32 accumulator BIT-IDENTICAL to the direct conv — pinned by
-    tests/test_w2c_down.py).  Cin=2C=128 fills the MXU lanes, so XLA
-    should keep the standard layout at 1.33x the FLOPs; in-situ TPU
-    measurement pending (tunnel outage at implementation time) — see
-    BASELINE.md for the measured verdict.
+    tests/test_w2c_down.py).
     The earlier polyphase space-to-depth attempt (REFUTED, see
     tools_dev/s2d_down_bench.py) lost because its phase split is a real
     s8 transpose; this one is a bitcast.
 
+    MEASURED VERDICT (round 5, same-window TPU v5e): **retired,
+    default OFF**.  The "free bitcast" premise fails under TPU tiled
+    layouts — with C=64 the (8,128) tile pads the lane dim, so the
+    reshape materializes as standalone HBM relayout copies
+    ({3,2,1,0}->{1,3,2,0}->{3,0,2,1}, 6.2 ms/10-tick vs the 5.95 ms
+    conv win; tools_dev/attrib_diff.py) — and the 3x2 stride-(2,1)
+    conv draws the SAME pathological `{3,0,2,1}` layout despite
+    Cin=128.  Serving A/B (tools_dev/serving_w2c_ab.py): off 528.84 /
+    on_all 517.84 (-2.1%) / down1-only 529.39 fps (wash).  Isolated
+    (tools_dev/w2c_isolated_bench.py two-point probe): direct 237 us,
+    w2c 482 us, producer-chained w2c 2813 us vs 698 us direct.  A
+    third rewrite — merging N into H so the N-interleave is degenerate
+    (tools_dev/nh_merge_proto.py, exact seam correction) — also loses
+    (N=1/H=2560 conv runs 10x slower).  down1's ~530 us/tick in-situ
+    layout tax (producer pins {3,2,1,0}, XLA fuses a 52 MB relayout
+    into the conv) stands as measured cost; three exact rewrites
+    could not beat it.
+
     Returns the s32 accumulator, or None when ineligible
-    (``ADAS_W2C_DOWN=0`` kills it; eligibility = 3x3, stride (2,2),
-    pad ((1,1),(1,1)), no groups/dilation, Cin<=64, even W).
+    (default: always — ``ADAS_W2C_DOWN=1`` re-enables for experiments;
+    eligibility = 3x3, stride (2,2), pad ((1,1),(1,1)), no
+    groups/dilation, Cin<=64, even W, and min(H, W) >=
+    ``ADAS_W2C_MINDIM`` [160]).
     """
-    if os.environ.get("ADAS_W2C_DOWN", "1") == "0":
+    if os.environ.get("ADAS_W2C_DOWN", "0") == "0":
         return None
+    mindim = int(os.environ.get("ADAS_W2C_MINDIM", "160"))
     pad = tuple(tuple(p) for p in padding)
     if (
         xq.ndim != 4
@@ -565,6 +583,7 @@ def _maybe_w2c_down_conv(
         or tuple(dilation) != (1, 1)
         or xq.shape[-1] > 64
         or xq.shape[2] % 2
+        or min(xq.shape[1], xq.shape[2]) < mindim
     ):
         return None
     n, h, w, c = xq.shape

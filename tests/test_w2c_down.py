@@ -15,6 +15,15 @@ import pytest
 from adas_tpu.models import layers as L
 
 
+@pytest.fixture(autouse=True)
+def _enable_w2c(monkeypatch):
+    # the rewrite is retired in production (default ADAS_W2C_DOWN=0 —
+    # measured layout-relayout regression, see layers.py docstring);
+    # these tests pin the arithmetic of the opt-in path on tiny shapes
+    monkeypatch.setenv("ADAS_W2C_DOWN", "1")
+    monkeypatch.setenv("ADAS_W2C_MINDIM", "1")
+
+
 def _direct(xq, wq, strides=(2, 2), padding=((1, 1), (1, 1)), groups=1,
             dilation=(1, 1)):
     return jax.lax.conv_general_dilated(
@@ -70,6 +79,19 @@ def test_eligibility_gates(rng):
     assert run(x=jnp.zeros((1, 8, 8, 96), jnp.int8),
                w=jnp.zeros((3, 3, 96, 8), jnp.int8)) is None  # Cin>64
     assert run(w=jnp.zeros((5, 5, 16, 8), jnp.int8)) is None  # not 3x3
+
+
+def test_mindim_gate(rng, monkeypatch):
+    """Default eligibility requires min(H, W) >= 160 — the measured
+    `{3,0,2,1}`-pathology shapes; small feature maps (e.g. the lane
+    trunk's 80x400 layer2 down conv) stay on the direct conv."""
+    monkeypatch.delenv("ADAS_W2C_MINDIM", raising=False)
+    wq = jnp.zeros((3, 3, 16, 8), jnp.int8)
+    small = jnp.zeros((1, 80, 400, 16), jnp.int8)
+    big = jnp.zeros((1, 160, 320, 16), jnp.int8)
+    args = ((2, 2), ((1, 1), (1, 1)), 1, (1, 1))
+    assert L._maybe_w2c_down_conv(small, wq, *args) is None
+    assert L._maybe_w2c_down_conv(big, wq, *args) is not None
 
 
 def test_env_kill_switch(rng, monkeypatch):

@@ -24,14 +24,24 @@ import jax
 
 from serving_block_ab import build, compute_fps  # noqa: E402
 
-MODES = {"w2c_off": "0", "w2c_on": "1"}
+# mode -> (ADAS_W2C_DOWN, ADAS_W2C_MINDIM)
+MODES = {
+    "off": ("0", None),
+    "on_all": ("1", "1"),     # every eligible Cin<=64 conv (incl. lane)
+    "on_gated": ("1", None),  # shipping default: min(H, W) >= 160
+}
 
 
 def main():
     rng = np.random.default_rng(0)
     names = sys.argv[2:] or list(MODES)
     for mode in names:
-        os.environ["ADAS_W2C_DOWN"] = MODES[mode]
+        env, mindim = MODES[mode]
+        os.environ["ADAS_W2C_DOWN"] = env
+        if mindim is None:
+            os.environ.pop("ADAS_W2C_MINDIM", None)
+        else:
+            os.environ["ADAS_W2C_MINDIM"] = mindim
         jax.clear_caches()
         ms, batch = build(rng)
         fps, stats = compute_fps(ms, batch)
