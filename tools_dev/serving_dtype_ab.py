@@ -47,7 +47,7 @@ def build(rng, dtype):
     )
     lane = UltrafastLaneDetectorV2(
         model_path=None, model_type=LaneModelType.UFLDV2_CULANE,
-        dtype=dtype,
+        dtype=jnp.bfloat16 if dtype == "bf16" else dtype,
     )
     downscale = (360, 640)
     if dtype == "int8":
